@@ -1,0 +1,138 @@
+"""2-D sensor geometry for spatial attention.
+
+Re-implements the reference's ch_locations_2d
+[ref: speech_decoding/utils/layout.py:6-43]: Brennan2018 uses the easycap-M10
+EEG montage 2-D layout with broken channel 29 removed -> (60, 2); Gwilliams2022
+uses the MEG layout of the first BIDS recording -> (208, 2). Both are min-max
+normalized and scaled into [0.1, 0.9] (the spatial-attention bases are
+periodic, so a 0.1 margin is kept on each side [ref: layout.py:40-41]).
+
+TPU-first design: the layout is *static data*, precomputed once host-side and
+cached as .npy, so training needs no MNE dependency. Resolution order:
+
+  1. a cached ``layout_2d.npy`` next to the dataset
+     (``{root_dir}/data/{dataset}/layout_2d.npy``);
+  2. MNE/mne_bids, if importable (exactly the reference recipe) — result is
+     cached to (1);
+  3. a documented geometric fallback (ring layout for easycap-M10, sunflower
+     spiral for the 208-sensor KIT MEG system). The fallback preserves the
+     interface and the [0.1, 0.9] box but is NOT position-exact; regenerate
+     the cache with MNE installed (tools/precompute_layout.py) before
+     comparing accuracy against the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from speech_decoding_tpu.utils.logging import cprint
+
+NUM_CHANNELS = {"Brennan2018": 60, "Gwilliams2022": 208}
+
+
+def _normalize(loc: np.ndarray) -> np.ndarray:
+    """min-max normalize then keep a 0.1 margin [ref: layout.py:38-41]."""
+    loc = (loc - loc.min(axis=0)) / (loc.max(axis=0) - loc.min(axis=0))
+    return (loc * 0.8 + 0.1).astype(np.float32)
+
+
+def _easycap_m10_fallback() -> np.ndarray:
+    """Ring approximation of the easycap-M10 equidistant 61-electrode montage:
+    concentric rings of 1/6/12/18/24 electrodes around the vertex. Channel 29
+    (index 28) is removed as in the reference [ref: layout.py:17-18]."""
+    counts = [1, 6, 12, 18, 24]
+    pts = []
+    for ring, count in enumerate(counts):
+        r = ring / (len(counts) - 1)
+        for i in range(count):
+            theta = 2 * np.pi * i / count + (np.pi / count if ring % 2 else 0.0)
+            pts.append((r * np.cos(theta), r * np.sin(theta)))
+    loc = np.asarray(pts, np.float64)  # (61, 2)
+    loc = np.delete(loc, 28, axis=0)  # (60, 2)
+    return loc
+
+
+def _kit208_fallback() -> np.ndarray:
+    """Sunflower-spiral approximation of the 208-sensor KIT MEG helmet."""
+    n = 208
+    golden = np.pi * (3 - np.sqrt(5))
+    i = np.arange(n, dtype=np.float64)
+    r = np.sqrt((i + 0.5) / n)
+    theta = golden * i
+    return np.stack([r * np.cos(theta), r * np.sin(theta)], axis=-1)
+
+
+def _try_mne(dataset_name: str, root_dir: str) -> Optional[np.ndarray]:
+    """The exact reference recipe, when MNE is available [ref: layout.py:9-32]."""
+    try:
+        import mne
+    except ImportError:
+        return None
+    mne.set_log_level(verbose="WARNING")
+    if dataset_name == "Brennan2018":
+        montage = mne.channels.make_standard_montage("easycap-M10")
+        info = mne.create_info(ch_names=montage.ch_names, sfreq=512.0, ch_types="eeg")
+        info.set_montage(montage)
+        layout = mne.channels.find_layout(info, ch_type="eeg")
+        loc = layout.pos[:, :2]
+        loc = np.delete(loc, 28, axis=0)  # broken channel 29
+        return loc
+    if dataset_name == "Gwilliams2022":
+        try:
+            import mne_bids
+        except ImportError:
+            return None
+        bids_path = mne_bids.BIDSPath(
+            subject="01",
+            session="0",
+            task="0",
+            datatype="meg",
+            root=f"{root_dir}/data/Gwilliams2022/",
+        )
+        raw = mne_bids.read_raw_bids(bids_path)
+        layout = mne.channels.find_layout(raw.info, ch_type="meg")
+        return layout.pos[:, :2]
+    raise ValueError(f"Unknown dataset: {dataset_name}")
+
+
+def ch_locations_2d(
+    dataset_name: str, root_dir: str = ".", cache: bool = True
+) -> np.ndarray:
+    """Return (C, 2) float32 sensor positions in [0.1, 0.9]."""
+    if dataset_name not in NUM_CHANNELS:
+        raise ValueError(f"Unknown dataset: {dataset_name}")
+
+    cache_path = os.path.join(root_dir, "data", dataset_name, "layout_2d.npy")
+    if cache and os.path.exists(cache_path):
+        loc = np.load(cache_path)
+        assert loc.shape == (NUM_CHANNELS[dataset_name], 2), loc.shape
+        return loc.astype(np.float32)
+
+    loc = None
+    try:
+        loc = _try_mne(dataset_name, root_dir)
+    except Exception as e:  # missing BIDS data etc.
+        cprint(f"MNE layout failed ({e}); using geometric fallback", "yellow")
+    if loc is None:
+        cprint(
+            f"[layout] MNE unavailable — using geometric fallback for {dataset_name}. "
+            "Regenerate with tools/precompute_layout.py for position-exact parity.",
+            "yellow",
+        )
+        loc = (
+            _easycap_m10_fallback()
+            if dataset_name == "Brennan2018"
+            else _kit208_fallback()
+        )
+
+    loc = _normalize(np.asarray(loc, np.float64))
+    if cache:
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            np.save(cache_path, loc)
+        except OSError:
+            pass
+    return loc

@@ -1,0 +1,377 @@
+"""Brain encoder: Fourier-parameterized spatial attention + per-subject 1x1
+convs + dilated-GLU conv stack.
+
+Re-implements the architecture of the reference's speech_decoding/models.py
+(SpatialAttention models.py:14-65, SpatialDropout models.py:68-86,
+SubjectBlock models.py:89-117, ConvBlock models.py:120-166, BrainEncoder
+models.py:169-196) TPU-first:
+
+  * Internal layout is (batch, time, channels) — the feature dim maps to TPU
+    lanes and all 1x1 convs become MXU matmuls. The public ``__call__`` takes
+    the reference layout (batch, channels, time) and returns the same.
+  * The per-subject layer is one gathered (S, D1, D1) einsum instead of a
+    Python loop of B tiny convs [ref: models.py:114-116]; the reference's own
+    test twin proves equivalence [ref: tests/test_modules/models.py:21-42].
+  * cos/sin Fourier bases are precomputed from static sensor positions at
+    trace time and folded into the compiled graph [ref: models.py:36-40].
+  * All initializers match torch defaults (Conv1d: kaiming_uniform(a=sqrt(5))
+    == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight and bias; complex z:
+    U(0,1) per real/imag part [ref: models.py:33]) so training dynamics track
+    the reference.
+  * GELU is exact (erf) like torch F.gelu [ref: models.py:158].
+  * BatchNorm matches torch.nn.BatchNorm1d semantics exactly, including the
+    unbiased running-variance update (see ``TorchBatchNorm``).
+
+Compute dtype: modules accept ``compute_dtype`` (default float32; use bfloat16
+on TPU). Parameters stay float32; normalization statistics accumulate in
+float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# torch-compatible initializers
+# ---------------------------------------------------------------------------
+
+
+def torch_conv_uniform(fan_in: int):
+    """torch Conv1d/Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    kaiming_uniform_(a=sqrt(5)) over a conv weight reduces to exactly this
+    bound; torch uses the same bound for the bias.
+    """
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def uniform01(key, shape, dtype=jnp.float32):
+    """U(0, 1) — torch.rand, used for the complex z parameter [ref: models.py:33]."""
+    return jax.random.uniform(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over (batch, time) per channel with torch.nn.BatchNorm1d
+    semantics [ref: models.py:135,143].
+
+    Differences from flax.linen.BatchNorm that matter for parity:
+      * the running variance is updated with the *unbiased* batch variance
+        (n/(n-1)) while normalization uses the biased one;
+      * momentum convention: new = (1 - m) * old + m * batch, m = 0.1.
+
+    Stats live in the ``batch_stats`` collection. Under jit with a sharded
+    batch, the mean/var reductions are global (XLA inserts the collectives),
+    which is equivalent to synchronized cross-replica BN.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool) -> Array:
+        # x: (B, T, C)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1)) - jnp.square(mean)
+            n = x.shape[0] * x.shape[1]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.compute_dtype)
+
+
+class Conv1d(nn.Module):
+    """1-D conv in (B, T, C) layout with torch-default init and 'SAME' padding.
+
+    kernel_size=1 lowers to a pure MXU matmul; kernel_size=3 with dilation d
+    maps to XLA conv_general_dilated (rhs_dilation), which the TPU backend
+    tiles onto the MXU.
+    """
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        fan_in = in_features * self.kernel_size
+        kernel = self.param(
+            "kernel",
+            torch_conv_uniform(fan_in),
+            (self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            window_strides=(1,),
+            padding="SAME",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=self.compute_dtype,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_conv_uniform(fan_in), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.compute_dtype)
+        return y
+
+
+def spatial_dropout_mask(
+    key: Array, loc: Array, d_drop: float, dtype: Any = jnp.float32
+) -> Array:
+    """Train-time spatial dropout mask: pick one random sensor as the drop
+    center and zero every channel within Euclidean distance ``d_drop`` of it;
+    the same center is used for the whole batch [ref: models.py:77-84].
+
+    Returns a (C,) mask of zeros/ones.
+    """
+    num_channels = loc.shape[0]
+    center_idx = jax.random.randint(key, (), 0, num_channels)
+    center = jax.lax.dynamic_index_in_dim(loc, center_idx, axis=0, keepdims=False)
+    distances = jnp.linalg.norm(loc - center, axis=-1)
+    return jnp.where(distances < d_drop, 0.0, 1.0).astype(dtype)
+
+
+class SpatialAttention(nn.Module):
+    """Fourier-parameterized spatial re-mixing of sensor channels
+    [ref: models.py:14-65].
+
+    Attention logits over input channels: a = Re(z)·cos(phi) + Im(z)·sin(phi)
+    with phi[kl, c] = 2*pi*(k*x_c + l*y_c) over a K×K grid of (k, l)
+    frequencies and normalized 2-D sensor positions (x, y). Softmax over
+    channels, then a channel mix. The cos/sin bases depend only on the static
+    sensor layout and are precomputed host-side [ref: models.py:36-40].
+
+    ``loc`` is a static (C, 2) numpy array of sensor positions in [0.1, 0.9]
+    (see speech_decoding_tpu.data.layout).
+    """
+
+    D1: int
+    K: int
+    d_drop: float
+    loc: Any  # static numpy (C, 2)
+    compute_dtype: Any = jnp.float32
+
+    def _bases(self) -> Tuple[np.ndarray, np.ndarray]:
+        K = self.K
+        loc = np.asarray(self.loc, np.float32)
+        k = np.arange(K, dtype=np.float32).repeat(K)  # kl-major grid [ref: models.py:21-26]
+        l = np.tile(np.arange(K, dtype=np.float32), K)
+        phi = 2 * np.pi * (np.outer(k, loc[:, 0]) + np.outer(l, loc[:, 1]))  # (K^2, C)
+        return np.cos(phi), np.sin(phi)
+
+    @nn.compact
+    def __call__(self, X: Array, deterministic: bool = True) -> Array:
+        # X: (B, T, C)
+        z_re = self.param("z_re", uniform01, (self.D1, self.K**2), jnp.float32)
+        z_im = self.param("z_im", uniform01, (self.D1, self.K**2), jnp.float32)
+        cos_b, sin_b = self._bases()
+        cos_b = jnp.asarray(cos_b)
+        sin_b = jnp.asarray(sin_b)
+
+        # (D1, C) attention logits; softmax over channels [ref: models.py:49-58]
+        a = z_re @ cos_b + z_im @ sin_b
+        wts = jax.nn.softmax(a, axis=-1).astype(self.compute_dtype)
+
+        if not deterministic:
+            key = self.make_rng("dropout")
+            mask = spatial_dropout_mask(
+                key, jnp.asarray(self.loc, jnp.float32), self.d_drop, self.compute_dtype
+            )
+            X = X * mask[None, None, :]
+
+        # channel mix: (B, T, C) @ (C, D1) -> (B, T, D1) [ref: models.py:65]
+        return jnp.einsum(
+            "btc,oc->bto", X.astype(self.compute_dtype), wts,
+            preferred_element_type=self.compute_dtype,
+        )
+
+
+class SubjectBlock(nn.Module):
+    """SpatialAttention -> shared 1x1 conv -> per-subject bias-free 1x1 conv
+    [ref: models.py:89-117].
+
+    The per-subject layer holds one (S, D1, D1) tensor and applies it with a
+    gathered batched matmul — numerically identical to the reference's
+    ModuleList loop (its test file proves the equivalence,
+    tests/test_modules/models.py:33-35) and MXU-friendly.
+    """
+
+    num_subjects: int
+    D1: int
+    K: int
+    d_drop: float
+    loc: Any
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, X: Array, subject_idxs: Array, deterministic: bool = True) -> Array:
+        X = SpatialAttention(
+            self.D1, self.K, self.d_drop, self.loc, self.compute_dtype, name="spatial_attention"
+        )(X, deterministic)
+        X = Conv1d(self.D1, 1, compute_dtype=self.compute_dtype, name="conv")(X)
+        # (S, D1_in, D1_out); torch conv weight (out, in, 1) transposed
+        W = self.param(
+            "subject_kernel",
+            torch_conv_uniform(self.D1),
+            (self.num_subjects, self.D1, self.D1),
+            jnp.float32,
+        ).astype(self.compute_dtype)
+        return jnp.einsum(
+            "bti,bio->bto", X, W[subject_idxs], preferred_element_type=self.compute_dtype
+        )
+
+
+class ConvBlock(nn.Module):
+    """Dilated conv block with residual skips, BN+GELU, and a GLU output
+    [ref: models.py:120-166].
+
+    dilations: conv0 = 2^((2k) % 5), conv1 = 2^((2k+1) % 5), conv2 = 2
+    (the reference hard-codes 2 per the paper's figure [ref: models.py:149]).
+    """
+
+    k: int
+    D2: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, X: Array, use_running_average: bool = True) -> Array:
+        d0 = 2 ** ((2 * self.k) % 5)
+        d1 = 2 ** ((2 * self.k + 1) % 5)
+        dt = self.compute_dtype
+
+        Y = Conv1d(self.D2, 3, d0, compute_dtype=dt, name="conv0")(X)
+        if self.k > 0:
+            Y = Y + X  # skip [ref: models.py:156]
+        Y = nn.gelu(
+            TorchBatchNorm(self.D2, compute_dtype=dt, name="batchnorm0")(
+                Y, use_running_average
+            ),
+            approximate=False,
+        )
+        Y = Conv1d(self.D2, 3, d1, compute_dtype=dt, name="conv1")(Y) + Y
+        Y = nn.gelu(
+            TorchBatchNorm(self.D2, compute_dtype=dt, name="batchnorm1")(
+                Y, use_running_average
+            ),
+            approximate=False,
+        )
+        Y = Conv1d(2 * self.D2, 3, 2, compute_dtype=dt, name="conv2")(Y)
+        a, b = jnp.split(Y, 2, axis=-1)  # GLU over channels [ref: models.py:164]
+        return a * jax.nn.sigmoid(b)
+
+
+class BrainEncoder(nn.Module):
+    """SubjectBlock -> 5 ConvBlocks -> two 1x1 heads with GELU
+    [ref: models.py:169-196].
+
+    Public layout matches the reference: X (B, C, T) -> Z (B, F, T).
+    ``F`` must already account for the last4layers override (the reference
+    forces F=1024 when preprocs.last4layers [ref: models.py:176]); use
+    ``BrainEncoder.from_config`` to apply that rule.
+    """
+
+    num_subjects: int
+    loc: Any  # static numpy (C, 2) sensor positions
+    D1: int = 270
+    D2: int = 320
+    F: int = 1024
+    K: int = 32
+    d_drop: float = 0.1
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @classmethod
+    def from_config(cls, args, loc, num_subjects: int) -> "BrainEncoder":
+        F = 1024 if args.preprocs["last4layers"] else args.F  # [ref: models.py:176]
+        dtype = jnp.dtype(args.select("tpu.compute_dtype", "float32"))
+        return cls(
+            num_subjects=num_subjects,
+            loc=loc,
+            D1=args.D1,
+            D2=args.D2,
+            F=F,
+            K=args.K,
+            d_drop=args.d_drop,
+            compute_dtype=dtype,
+            remat=bool(args.select("tpu.remat", False)),
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        X: Array,
+        subject_idxs: Array,
+        train: bool = False,
+    ) -> Array:
+        # reference layout in: (B, C, T) -> internal (B, T, C)
+        X = jnp.swapaxes(X, -1, -2).astype(self.compute_dtype)
+
+        X = SubjectBlock(
+            self.num_subjects,
+            self.D1,
+            self.K,
+            self.d_drop,
+            self.loc,
+            self.compute_dtype,
+            name="subject_block",
+        )(X, subject_idxs, deterministic=not train)
+
+        block_cls = ConvBlock
+        if self.remat:
+            block_cls = nn.remat(ConvBlock, static_argnums=(2,))
+        for k in range(5):
+            X = block_cls(k, self.D2, self.compute_dtype, name=f"conv{k}")(
+                X, not train
+            )
+
+        X = nn.gelu(
+            Conv1d(2 * self.D2, 1, compute_dtype=self.compute_dtype, name="conv_final1")(X),
+            approximate=False,
+        )
+        X = nn.gelu(
+            Conv1d(self.F, 1, compute_dtype=self.compute_dtype, name="conv_final2")(X),
+            approximate=False,
+        )
+        return jnp.swapaxes(X, -1, -2)  # back to (B, F, T)

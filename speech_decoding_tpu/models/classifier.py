@@ -1,0 +1,54 @@
+"""Segment-retrieval evaluation (top-1 / top-10 accuracy).
+
+Replaces the reference Classifier's O(B²) Python cosine loop
+[ref: speech_decoding/models.py:199-248] with one normalized matmul — on TPU
+the B×B similarity matrix for a full test set is a single (sharded) MXU
+matmul. Accuracies are computed rank-based: the rank of the diagonal entry in
+its row equals the reference's argmax / topk-membership tests (up to ties,
+which have measure zero for continuous embeddings).
+
+The reference transposes the similarity matrix before scoring
+[ref: models.py:233], so rows of the scored matrix index *audio* segments and
+columns index brain embeddings; we build that orientation directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def cosine_similarity_matrix(Z: Array, Y: Array, eps: float = 1e-8) -> Array:
+    """sim[i, j] = cos(Y_i, Z_j) — the reference's transposed orientation
+    [ref: models.py:226-233], with the same eps guard on the norm product."""
+    B = Z.shape[0]
+    z = Z.reshape(B, -1).astype(jnp.float32)
+    y = Y.reshape(B, -1).astype(jnp.float32)
+    dots = jnp.matmul(y, z.T, preferred_element_type=jnp.float32)
+    norms = jnp.maximum(
+        jnp.outer(jnp.linalg.norm(y, axis=-1), jnp.linalg.norm(z, axis=-1)), eps
+    )
+    return dots / norms
+
+
+def retrieval_accuracy_from_similarity(
+    similarity: Array, ks: Sequence[int] = (1, 10)
+) -> Tuple[Array, ...]:
+    """Top-k accuracies of the diagonal within each row, via diagonal rank
+    (number of strictly larger entries) [ref: models.py:236-243]."""
+    diag = jnp.diagonal(similarity)
+    rank = jnp.sum(similarity > diag[:, None], axis=-1)
+    return tuple(jnp.mean((rank < k).astype(jnp.float32)) for k in ks)
+
+
+def retrieval_metrics(
+    Z: Array, Y: Array, ks: Sequence[int] = (1, 10)
+) -> Tuple[Array, ...]:
+    """Top-k retrieval accuracies for brain embeddings Z vs audio embeddings Y
+    (both (B, F, T)). Equivalent to the reference's Classifier.forward
+    [ref: models.py:209-248] but one matmul instead of a B² Python loop."""
+    return retrieval_accuracy_from_similarity(cosine_similarity_matrix(Z, Y), ks)
