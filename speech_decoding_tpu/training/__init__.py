@@ -1,0 +1,4 @@
+from speech_decoding_tpu.training.state import TrainState, create_train_state
+from speech_decoding_tpu.training.steps import make_eval_step, make_train_step
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]

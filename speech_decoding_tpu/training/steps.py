@@ -1,0 +1,100 @@
+"""Jitted train / eval steps.
+
+One fused XLA program per step: (optional) Gwilliams on-the-fly collate
+(baseline + robust scale + clamp [ref: gwilliams2022.py:653-661]), encoder
+forward with spatial dropout, CLIP loss [ref: train.py:189-203], Adam update,
+and retrieval metrics [ref: train.py:194]. Loss is called as loss(Y, Z) —
+x = audio, y = brain — exactly like the reference [ref: train.py:191].
+
+Batches are dicts of device arrays; under a sharded-input jit the same step
+runs data-parallel over the mesh with XLA-inserted collectives (BN stats and
+the B×B CLIP logits reduce globally).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from speech_decoding_tpu.models.classifier import retrieval_metrics
+from speech_decoding_tpu.models.loss import clip_loss
+from speech_decoding_tpu.ops.scaling import gwilliams_collate
+from speech_decoding_tpu.training.state import TrainState
+
+Array = jax.Array
+Batch = Dict[str, Array]  # X (B, C, T), Y (B, F, T), subject_idxs (B,)
+
+
+def _maybe_collate(X: Array, collate: Optional[Dict]) -> Array:
+    if collate is None:
+        return X
+    return gwilliams_collate(
+        X,
+        baseline_len_samp=collate["baseline_len_samp"],
+        clamp_lim=collate["clamp_lim"],
+        do_clamp=collate["clamp"],
+    )
+
+
+def make_train_step(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """Build the jitted train step for a given encoder/config."""
+
+    def loss_fn(params, batch_stats, batch, dropout_key):
+        X = _maybe_collate(batch["X"], collate)
+        Z, mutated = encoder.apply(
+            {"params": params["encoder"], "batch_stats": batch_stats},
+            X,
+            batch["subject_idxs"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = clip_loss(batch["Y"], Z, params["clip"]["temp"][0], reduction)
+        return loss, (Z, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Batch, dropout_key: Array):
+        (loss, (Z, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, dropout_key
+        )
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        metrics = {
+            "loss": loss,
+            "top1": top1,
+            "top10": top10,
+            "temp": state.params["clip"]["temp"][0],
+        }
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+) -> Callable[[TrainState, Batch], Dict[str, Array]]:
+    """Full-batch eval: forward (no dropout, running BN stats), loss, retrieval
+    [ref: train.py:211-233]."""
+
+    def eval_step(state: TrainState, batch: Batch):
+        X = _maybe_collate(batch["X"], collate)
+        Z = encoder.apply(
+            {"params": state.params["encoder"], "batch_stats": state.batch_stats},
+            X,
+            batch["subject_idxs"],
+            train=False,
+        )
+        loss = clip_loss(batch["Y"], Z, state.params["clip"]["temp"][0], reduction)
+        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        return {"loss": loss, "top1": top1, "top10": top10}
+
+    return jax.jit(eval_step)

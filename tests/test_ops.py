@@ -1,0 +1,244 @@
+"""DSP-op parity tests: FIR band-pass (frequency-response contract + MNE
+golden when available), FFT resample (scipy spectral-core parity + signal
+properties), sinc resample (torchaudio algorithm twin + spectral checks),
+robust scaling (sklearn parity), baseline correction."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from speech_decoding_tpu.ops.fir import (
+    bandpass_filter,
+    design_bandpass_fir,
+    fir_filter_zero_phase,
+    reflect_limited_pad,
+)
+from speech_decoding_tpu.ops.resample import fft_resample, sinc_resample, _sinc_kernel
+from speech_decoding_tpu.ops.scaling import (
+    baseline_correct,
+    gwilliams_collate,
+    robust_scale,
+)
+
+
+class TestFIRDesign:
+    def test_bandpass_response(self):
+        """1–60 Hz band-pass at 500 Hz: unity in band, strong attenuation in
+        the stop bands, -6 dB (half amplitude) at the band edges (MNE's firwin
+        convention puts the -6 dB point at the passband edge)."""
+        sfreq = 500.0
+        taps = design_bandpass_fir(sfreq, 1.0, 60.0)
+        assert len(taps) % 2 == 1
+        w, h = scipy.signal.freqz(taps, worN=16384, fs=sfreq)
+        mag = np.abs(h)
+
+        def at(f):
+            return mag[np.argmin(np.abs(w - f))]
+
+        assert abs(at(10.0) - 1.0) < 0.01
+        assert abs(at(30.0) - 1.0) < 0.01
+        # MNE firwin convention: -6 dB at the transition-band center
+        assert abs(at(0.5) - 0.5) < 0.05  # low edge center (l_trans = 1 Hz)
+        assert abs(at(67.5) - 0.5) < 0.05  # high edge center (h_trans = 15 Hz)
+        assert abs(at(1.0) - 1.0) < 0.05  # passband edge
+        assert abs(at(60.0) - 1.0) < 0.05
+        assert at(0.05) < 0.05  # low stop band
+        assert at(100.0) < 1e-3
+
+    def test_expected_length(self):
+        # l_trans=1 Hz dominates: 3.3 * 500 / 1 = 1650 -> odd 1651
+        taps = design_bandpass_fir(500.0, 1.0, 60.0)
+        assert len(taps) == 1651
+
+    @pytest.mark.skipif(
+        not pytest.importorskip("importlib").util.find_spec("mne"),
+        reason="MNE not installed",
+    )
+    def test_mne_golden(self):
+        import mne
+
+        h_mne = mne.filter.create_filter(
+            np.zeros(100000), 500.0, 1.0, 60.0, fir_design="firwin"
+        )
+        taps = design_bandpass_fir(500.0, 1.0, 60.0)
+        np.testing.assert_allclose(taps, h_mne, atol=1e-7)
+
+
+class TestFIRApply:
+    def test_zero_phase_and_scipy_parity(self, rng):
+        """Zero-phase FFT application == scipy filtfilt-style centered
+        convolution on the padded signal."""
+        x = rng.normal(size=(3, 4, 2000)).astype(np.float32)
+        taps = design_bandpass_fir(250.0, 2.0, 40.0)
+        ours = np.asarray(fir_filter_zero_phase(jnp.asarray(x), jnp.asarray(taps)))
+        # numpy twin: odd-reflect pad, full conv, center crop
+        n_edge = len(taps) - 1
+        ref = np.empty_like(x)
+        for i in range(3):
+            for j in range(4):
+                row = x[i, j]
+                left = 2 * row[0] - row[n_edge:0:-1]
+                right = 2 * row[-1] - row[-2 : -n_edge - 2 : -1]
+                padded = np.concatenate([left, row, right])
+                full = np.convolve(padded, taps)
+                start = (len(taps) - 1) // 2 + n_edge
+                ref[i, j] = full[start : start + row.shape[-1]]
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_inband_sine_preserved(self):
+        sfreq, f0 = 500.0, 10.0
+        t = np.arange(5000) / sfreq
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(bandpass_filter(jnp.asarray(x)[None], sfreq, 1.0, 60.0))[0]
+        core = slice(1000, 4000)
+        # no phase shift, amplitude preserved
+        np.testing.assert_allclose(y[core], x[core], atol=0.02)
+
+    def test_out_of_band_removed(self):
+        sfreq = 500.0
+        t = np.arange(5000) / sfreq
+        x = (np.sin(2 * np.pi * 10 * t) + np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+        y = np.asarray(bandpass_filter(jnp.asarray(x)[None], sfreq, 1.0, 60.0))[0]
+        target = np.sin(2 * np.pi * 10 * t)
+        np.testing.assert_allclose(y[1000:4000], target[1000:4000], atol=0.02)
+
+    def test_reflect_limited_pad(self):
+        x = jnp.asarray(np.array([[1.0, 2.0, 5.0]]))
+        y = np.asarray(reflect_limited_pad(x, 2))
+        np.testing.assert_allclose(y[0], [-3.0, 0.0, 1.0, 2.0, 5.0, 8.0, 9.0])
+
+
+class TestFFTResample:
+    @staticmethod
+    def _numpy_twin(x: np.ndarray, up: float, down: float) -> np.ndarray:
+        """The documented MNE resample algorithm, in numpy/scipy."""
+        ratio = up / down
+        n = x.shape[-1]
+        min_add = min(n // 8, 100)
+        total = 1 << int(np.ceil(np.log2(n + min_add)))
+        npad = total - n
+        pad_l, pad_r = npad // 2, npad - npad // 2
+        left = 2 * x[..., :1] - x[..., pad_l:0:-1]
+        right = 2 * x[..., -1:] - x[..., -2 : -pad_r - 2 : -1]
+        big = np.concatenate([left, x, right], axis=-1)
+        new_len = int(round(ratio * big.shape[-1]))
+        y = scipy.signal.resample(big, new_len, axis=-1)
+        to_l = int(round(ratio * pad_l))
+        n_out = int(round(ratio * n))
+        return y[..., to_l : to_l + n_out]
+
+    def test_matches_numpy_twin(self, rng):
+        x = rng.normal(size=(3, 2000)).astype(np.float64)
+        for up, down in [(120.0, 1000.0), (2.4, 1.0), (1.0, 3.0)]:
+            ours = np.asarray(fft_resample(jnp.asarray(x), up=up, down=down))
+            theirs = self._numpy_twin(x, up, down)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+    def test_downsample_sine(self):
+        """FFT resampling on padded-to-pow2 lengths has a ~1e-5 relative
+        frequency quirk (inherent to the MNE algorithm) — tolerance reflects
+        the accumulated phase error, not noise."""
+        sfreq, f0 = 1000.0, 7.0
+        t = np.arange(20000) / sfreq
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(fft_resample(jnp.asarray(x)[None], up=120.0, down=1000.0))[0]
+        assert y.shape[0] == round(20000 * 120 / 1000)
+        t2 = np.arange(y.shape[0]) / 120.0
+        expected = np.sin(2 * np.pi * f0 * t2)
+        np.testing.assert_allclose(y[50:-50], expected[50:-50], atol=0.05)
+
+    def test_upsample_matches_mne_factor(self):
+        """Brennan upsamples embeddings by 2.4 [ref: brennan2018.py:197-201]."""
+        x = np.cos(2 * np.pi * 3.0 * np.arange(3000) / 50.0).astype(np.float32)
+        y = np.asarray(fft_resample(jnp.asarray(x)[None, None], up=2.4))[0, 0]
+        assert y.shape[0] == round(3000 * 2.4)
+        t2 = np.arange(y.shape[0]) / 120.0
+        np.testing.assert_allclose(y[100:-100], np.cos(2 * np.pi * 3.0 * t2)[100:-100], atol=0.08)
+
+    def test_spectral_core_matches_scipy(self, rng):
+        """On an exact power-of-two input with no padding effects at the center,
+        our spectral resize == scipy.signal.resample."""
+        from speech_decoding_tpu.ops.resample import _spectral_resize
+
+        for n_in, n_out in [(256, 100), (256, 611), (250, 125), (128, 127)]:
+            x = rng.normal(size=(2, n_in)).astype(np.float64)
+            X = np.fft.fft(x)
+            ours = np.fft.ifft(np.asarray(_spectral_resize(jnp.asarray(X), n_in, n_out))).real * (
+                n_out / n_in
+            )
+            theirs = scipy.signal.resample(x, n_out, axis=-1)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_batched(self, rng):
+        x = rng.normal(size=(4, 6, 1000)).astype(np.float32)
+        y = np.asarray(fft_resample(jnp.asarray(x), up=1.0, down=2.0))
+        assert y.shape == (4, 6, 500)
+
+
+class TestSincResample:
+    def test_kernel_matches_torchaudio_algorithm(self):
+        """Pure-numpy twin of torchaudio's _get_sinc_resample_kernel."""
+        kernel, width = _sinc_kernel(441, 160, 128, 0.99)
+        assert kernel.shape[0] == 160
+        base = min(441, 160) * 0.99
+        assert width == int(np.ceil(128 * 441 / base))
+        # DC: each phase row must sum to ~new/orig gain preservation
+        np.testing.assert_allclose(kernel.sum(axis=1), 1.0, atol=5e-3)
+
+    def test_sine_preserved_44k_to_16k(self):
+        orig, new, f0 = 44100, 16000, 440.0
+        t = np.arange(44100) / orig
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(sinc_resample(jnp.asarray(x)[None], orig, new, 128))[0]
+        assert y.shape[0] == int(np.ceil(len(x) * new / orig))
+        t2 = np.arange(y.shape[0]) / new
+        expected = np.sin(2 * np.pi * f0 * t2)
+        np.testing.assert_allclose(y[200:-200], expected[200:-200], atol=5e-3)
+
+    def test_scipy_resample_poly_agreement(self, rng):
+        """Band-limited noise through ours vs scipy.resample_poly (different
+        window, so compare loosely in the passband sense)."""
+        x = rng.normal(size=8000).astype(np.float32)
+        x = scipy.signal.sosfilt(
+            scipy.signal.butter(8, 3000, fs=44100, output="sos"), x
+        ).astype(np.float32)
+        ours = np.asarray(sinc_resample(jnp.asarray(x)[None], 44100, 16000, 128))[0]
+        theirs = scipy.signal.resample_poly(x, 160, 441)
+        n = min(len(ours), len(theirs))
+        err = np.sqrt(np.mean((ours[500 : n - 500] - theirs[500 : n - 500]) ** 2))
+        assert err < 0.02, err
+
+
+class TestScaling:
+    def test_robust_scale_matches_sklearn(self, rng):
+        from sklearn.preprocessing import RobustScaler
+
+        x = (rng.normal(size=(5, 300)) * rng.uniform(0.1, 10, (5, 1))).astype(np.float64)
+        ours = np.asarray(robust_scale(jnp.asarray(x), axis=-1))
+        theirs = RobustScaler().fit_transform(x.T).T
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_robust_scale_constant_channel(self):
+        x = np.ones((3, 50), np.float32)
+        out = np.asarray(robust_scale(jnp.asarray(x), axis=-1))
+        np.testing.assert_allclose(out, 0.0)  # sklearn zero-IQR rule
+
+    def test_baseline_correct(self, rng):
+        x = rng.normal(size=(2, 4, 100)).astype(np.float32) + 5.0
+        y = np.asarray(baseline_correct(jnp.asarray(x), 30))
+        np.testing.assert_allclose(y[..., :30].mean(-1), 0.0, atol=1e-5)
+
+    def test_gwilliams_collate_matches_reference_order(self, rng):
+        """baseline FIRST, then robust-scale, then clamp
+        [ref: gwilliams2022.py:658-659]."""
+        from sklearn.preprocessing import RobustScaler
+
+        X = (rng.normal(size=(4, 8, 360)) * 40).astype(np.float64)
+        ours = np.asarray(gwilliams_collate(jnp.asarray(X), 60, 20.0, True))
+        ref = np.empty_like(X)
+        for b in range(4):
+            xb = X[b] - X[b][:, :60].mean(-1, keepdims=True)
+            xb = RobustScaler().fit_transform(xb.T).T
+            ref[b] = np.clip(xb, -20, 20)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

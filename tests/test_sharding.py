@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-device CPU mesh: sharded CLIP loss / retrieval
+match the single-device implementations, and the full train step runs under
+jit with batch-sharded inputs (GSPMD data parallelism)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_decoding_tpu.data.layout import ch_locations_2d
+from speech_decoding_tpu.models import BrainEncoder, clip_loss, retrieval_metrics
+from speech_decoding_tpu.parallel import (
+    clip_loss_sharded,
+    make_mesh,
+    retrieval_metrics_sharded,
+    shard_batch,
+)
+from speech_decoding_tpu.training import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh()
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"data": 8, "model": 1}
+    m2 = make_mesh({"data": 4, "model": 2})
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_clip_loss_sharded_matches_dense(mesh, rng):
+    B = 32
+    x = rng.normal(size=(B, 16, 6)).astype(np.float32)
+    y = rng.normal(size=(B, 16, 6)).astype(np.float32)
+    temp = jnp.float32(2.0)
+    dense = float(clip_loss(jnp.asarray(x), jnp.asarray(y), temp))
+    sharded = float(clip_loss_sharded(jnp.asarray(x), jnp.asarray(y), temp, mesh))
+    assert abs(dense - sharded) < 1e-4, (dense, sharded)
+
+
+def test_clip_loss_sharded_sum_reduction(mesh, rng):
+    B = 16
+    x = rng.normal(size=(B, 8)).astype(np.float32)
+    y = rng.normal(size=(B, 8)).astype(np.float32)
+    temp = jnp.float32(0.0)
+    dense = float(clip_loss(jnp.asarray(x), jnp.asarray(y), temp, reduction="sum"))
+    sharded = float(
+        clip_loss_sharded(jnp.asarray(x), jnp.asarray(y), temp, mesh, reduction="sum")
+    )
+    assert abs(dense - sharded) / max(abs(dense), 1) < 1e-5
+
+
+def test_retrieval_sharded_matches_dense(mesh, rng):
+    B = 40
+    Z = rng.normal(size=(B, 12, 4)).astype(np.float32)
+    Y = (0.6 * Z + 0.4 * rng.normal(size=Z.shape)).astype(np.float32)
+    d1, d10 = retrieval_metrics(jnp.asarray(Z), jnp.asarray(Y), ks=(1, 10))
+    s1, s10 = retrieval_metrics_sharded(jnp.asarray(Z), jnp.asarray(Y), mesh, ks=(1, 10))
+    assert abs(float(d1) - float(s1)) < 1e-6
+    assert abs(float(d10) - float(s10)) < 1e-6
+
+
+def test_train_step_with_sharded_batch(mesh):
+    """The jitted train step accepts a batch sharded over the data axis and
+    produces the same metrics as the unsharded run (GSPMD handles the
+    collectives, incl. global BatchNorm stats)."""
+    B, C, T, F = 16, 208, 48, 32
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=24, F=F, K=4)
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(jax.random.PRNGKey(1), (B, C, T))
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    sidx = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(enc, key, X, sidx)
+    batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+
+    train_step = make_train_step(enc, donate=False)
+    _, m_dense = train_step(state, batch, jax.random.PRNGKey(3))
+
+    sbatch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    for v in sbatch.values():
+        assert len(v.sharding.device_set) == 8
+    _, m_shard = train_step(state, sbatch, jax.random.PRNGKey(3))
+
+    assert abs(float(m_dense["loss"]) - float(m_shard["loss"])) < 1e-4
+    assert abs(float(m_dense["top10"]) - float(m_shard["top10"])) < 1e-6

@@ -1,0 +1,79 @@
+"""End-to-end training smoke tests on synthetic data: loss decreases, the
+model can overfit a small fixed batch, and gradient accumulation steps only
+every k batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_decoding_tpu.data.layout import ch_locations_2d
+from speech_decoding_tpu.models import BrainEncoder
+from speech_decoding_tpu.training import create_train_state, make_eval_step, make_train_step
+
+B, C, T, F = 8, 208, 60, 64
+
+
+def _setup(accumulate_steps=1, lr=1e-3):
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=32, D2=48, F=F, K=4)
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(jax.random.PRNGKey(1), (B, C, T))
+    sidx = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(
+        enc, key, X, sidx, init_temperature=5.1, lr=lr, accumulate_steps=accumulate_steps
+    )
+    return enc, state, X, sidx
+
+
+def test_overfit_fixed_batch():
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+    train_step = make_train_step(enc, donate=False)
+    losses = []
+    for i in range(60):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert float(metrics["top1"]) == 1.0  # memorized the batch
+    # temperature is being trained too
+    assert float(metrics["temp"]) != 5.1
+
+
+def test_eval_step_runs_and_is_deterministic():
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+    eval_step = make_eval_step(enc)
+    m1 = eval_step(state, batch)
+    m2 = eval_step(state, batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+    assert 0.0 <= float(m1["top10"]) <= 1.0
+
+
+def test_gradient_accumulation_brennan_semantics():
+    """With accumulate_steps=k, params change only after k micro-batches
+    (the corrected per-epoch stepping [ref: train.py:205-209])."""
+    k = 3
+    enc, state, X, sidx = _setup(accumulate_steps=k)
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+    train_step = make_train_step(enc, donate=False)
+    p0 = jax.tree.map(np.asarray, state.params)
+    for i in range(k - 1):
+        state, _ = train_step(state, batch, jax.random.PRNGKey(i))
+        same = jax.tree.map(np.array_equal, p0, jax.tree.map(np.asarray, state.params))
+        assert all(jax.tree.leaves(same)), f"params moved early at micro-step {i}"
+    state, _ = train_step(state, batch, jax.random.PRNGKey(99))
+    same = jax.tree.map(np.array_equal, p0, jax.tree.map(np.asarray, state.params))
+    assert not all(jax.tree.leaves(same)), "params did not move after k micro-steps"
+
+
+def test_collate_inside_step():
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": X * 50.0 + 7.0, "Y": Y, "subject_idxs": sidx}
+    collate = {"baseline_len_samp": 10, "clamp_lim": 20.0, "clamp": True}
+    train_step = make_train_step(enc, collate=collate, donate=False)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
