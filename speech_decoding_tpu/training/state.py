@@ -59,9 +59,13 @@ def create_train_state(
 ) -> TrainState:
     """Initialize encoder params, CLIP temperature, BN stats and Adam state."""
     pkey, dkey = jax.random.split(key)
-    variables = encoder.init(
-        {"params": pkey, "dropout": dkey}, sample_X, sample_subject_idxs, train=False
-    )
+    # jit the init: one compiled program instead of eager per-op dispatch
+    # (matters on remote/tunneled devices)
+    variables = jax.jit(
+        lambda k1, k2, X, s: encoder.init(
+            {"params": k1, "dropout": k2}, X, s, train=False
+        )
+    )(pkey, dkey, sample_X, sample_subject_idxs)
     params = {
         "encoder": variables["params"],
         "clip": {"temp": jnp.full((1,), init_temperature, jnp.float32)},

@@ -1,0 +1,115 @@
+"""wav2vec2 parity: our flax model with ported weights vs HF transformers'
+torch Wav2Vec2Model on a tiny random config (no network needed)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_decoding_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    params_from_torch,
+)
+
+transformers = pytest.importorskip("transformers")
+import torch  # noqa: E402
+
+
+def _tiny_pair(do_stable_layer_norm=True, feat_extract_norm="layer"):
+    cfg = Wav2Vec2Config.tiny()
+    cfg = Wav2Vec2Config(
+        **{
+            **cfg.__dict__,
+            "do_stable_layer_norm": do_stable_layer_norm,
+            "feat_extract_norm": feat_extract_norm,
+        }
+    )
+    hf_cfg = transformers.Wav2Vec2Config(
+        conv_dim=list(cfg.conv_dim),
+        conv_stride=list(cfg.conv_stride),
+        conv_kernel=list(cfg.conv_kernel),
+        conv_bias=cfg.conv_bias,
+        feat_extract_norm=cfg.feat_extract_norm,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=do_stable_layer_norm,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+    variables = jax.tree.map(jnp.asarray, params_from_torch(hf.state_dict(), cfg))
+    return cfg, hf, variables
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_forward_parity(stable):
+    cfg, hf, variables = _tiny_pair(do_stable_layer_norm=stable)
+    model = Wav2Vec2Model(cfg)
+    x = np.random.default_rng(0).normal(size=(2, 800)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x), output_hidden_states=True)
+    ours_last, ours_hidden = model.apply(
+        variables, jnp.asarray(x), output_hidden_states=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ours_last), ref.last_hidden_state.numpy(), rtol=2e-3, atol=2e-4
+    )
+    assert len(ours_hidden) == len(ref.hidden_states)
+    for i in range(-len(ours_hidden), 0):
+        np.testing.assert_allclose(
+            np.asarray(ours_hidden[i]),
+            ref.hidden_states[i].numpy(),
+            rtol=2e-3,
+            atol=2e-4,
+            err_msg=f"hidden state {i}",
+        )
+
+
+def test_feature_extractor_parity():
+    from speech_decoding_tpu.models.wav2vec2 import extract_features
+
+    cfg, hf, variables = _tiny_pair()
+    x = np.random.default_rng(1).normal(size=(1, 640)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.feature_extractor(torch.from_numpy(x)).numpy()  # (1, 512, T')
+    ours = extract_features(variables, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 2, 1), ref, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_embed_waveform_last4_chunking():
+    """embed_waveform splits into 10 chunks and averages the last 4 layers —
+    matching a torch twin of the reference's getW2VLastFourLayersAvg."""
+    from speech_decoding_tpu.models.wav2vec_util import FrozenWav2Vec2, embed_waveform
+
+    cfg, hf, variables = _tiny_pair()
+    frozen = FrozenWav2Vec2(cfg, variables)
+    wav = np.random.default_rng(2).normal(size=4000).astype(np.float32)
+
+    ours = embed_waveform(frozen, wav, last4layers=True)  # (F, T_emb)
+
+    chunks = np.array_split(np.arange(4000), 10)
+    refs = []
+    with torch.no_grad():
+        for idx in chunks:
+            out = hf(
+                torch.from_numpy(wav[idx][None]), output_hidden_states=True
+            ).hidden_states[-4:]
+            refs.append(torch.stack(out).mean(0)[0])
+    ref = torch.vstack(refs).T.numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
