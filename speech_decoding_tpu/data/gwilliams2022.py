@@ -1,0 +1,491 @@
+"""Gwilliams2022 (MEG-MASC) dataset pipeline.
+
+Re-implements the reference Gwilliams2022 dataset family
+[ref: speech_decoding/dataclass/gwilliams2022.py:42-720] TPU-first:
+
+  * raw ingest is a pluggable ``RawSource`` (host I/O only): ``MNEBIDSSource``
+    uses mne_bids exactly like the reference when MNE is installed
+    [ref: gwilliams2022.py:207-251]; ``ArrayBIDSSource`` reads a documented
+    array layout (sub-XX/ses-S/meg/*_meg.npy + *_annotations.json) so the
+    pipeline runs hermetically (tests, MNE-less environments);
+  * MEG preprocessing (band-pass 1–60 Hz @ 1 kHz, resample to 120 Hz
+    [ref: gwilliams2022.py:253-260]) is the batched fused device op in
+    ops/brain_preproc — replacing the reference's 20-process CPU pool with
+    its Manager-dict shared state [ref: gwilliams2022.py:36-39,298] by pure
+    functions and deterministic reassembly;
+  * word-onset parsing (kind=='word' filter, per-file onset stitching,
+    sentence ids) is pure host logic [ref: gwilliams2022.py:664-720], with the
+    reference's cross-subject speech-onset consistency asserts
+    [ref: gwilliams2022.py:239-243];
+  * caching follows the settings.json / x_done / y_done contract
+    [ref: gwilliams2022.py:62-109] via data/preproc_cache.py;
+  * three split modes (sentence / shallow / deep) operate on the segment
+    manifest [ref: gwilliams2022.py:390-637]; X stays whole per recording and
+    segments are lazy onset slices [ref: gwilliams2022.py:137-138];
+  * the per-batch baseline/scale/clamp collator
+    [ref: gwilliams2022.py:640-661] runs inside the jitted train step
+    (ops/scaling.gwilliams_collate).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from speech_decoding_tpu.data.preproc_cache import check_preprocs, mark_done
+from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
+from speech_decoding_tpu.ops.resample import fft_resample, sinc_resample
+from speech_decoding_tpu.utils.logging import cprint
+from speech_decoding_tpu.utils.natsort import natsorted
+from speech_decoding_tpu.utils.wavio import load_wav
+
+TASK_PREFIXES = ["lw", "cable", "easy", "the"]  # [ref: gwilliams2022.py:69]
+NUM_MEG_CHANNELS = 208  # of 224; last 16 are reference sensors
+BRAIN_ORIG_RATE = 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Onset parsing (pure host logic)
+# ---------------------------------------------------------------------------
+
+
+def continuous(onsets: np.ndarray) -> np.ndarray:
+    """Stitch per-audio-file onsets (each restarting at ~0) into one
+    monotonically increasing timeline [ref: gwilliams2022.py:668-687]."""
+    onsets = np.array(onsets, dtype=np.float64)
+    base = 0.0
+    for i in range(len(onsets)):
+        update = i < len(onsets) - 1 and onsets[i + 1] < onsets[i]
+        if update:
+            next_base = base + onsets[i]
+        onsets[i] += base
+        if update:
+            base = next_base
+    return onsets
+
+
+def drop_overlapping_words(word_onset_idxs, word_onsets, sentence_idxs):
+    """Words with < seq_len until the next sentence onset would straddle
+    splits; the reference leaves this unimplemented (TODO stub,
+    [ref: gwilliams2022.py:690-697]) — behavior kept for parity."""
+    return word_onset_idxs, word_onsets, sentence_idxs
+
+
+def parse_annotations(descriptions: Sequence) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """From per-annotation description dicts (or their str repr), extract
+    word-onset indices, stitched speech onsets and sentence ids
+    [ref: gwilliams2022.py:700-720]."""
+    rows = [
+        ast.literal_eval(d) if isinstance(d, str) else dict(d) for d in descriptions
+    ]
+    starts = continuous(np.array([r["start"] for r in rows], np.float64))
+    kinds = np.array([r["kind"] for r in rows])
+    word_onset_idxs = np.where(kinds == "word")[0]
+    word_onsets = starts[word_onset_idxs]
+    sentence_idxs = np.array([rows[i]["sequence_id"] for i in word_onset_idxs])
+    return drop_overlapping_words(word_onset_idxs, word_onsets, sentence_idxs)
+
+
+# ---------------------------------------------------------------------------
+# Raw sources (host-side I/O only)
+# ---------------------------------------------------------------------------
+
+
+class ArrayBIDSSource:
+    """Array-layout source: ``{root}/sub-XX/ses-S/meg/sub-XX_ses-S_task-T_meg.npy``
+    (n_channels, T) float raw MEG plus ``…_annotations.json`` with keys
+    ``onset`` (list of seconds) and ``description`` (list of dicts with
+    start/kind/sequence_id)."""
+
+    def __init__(self, root_dir: str):
+        self.root = root_dir
+
+    def read(self, subject: int, session: int, task: int):
+        stem = f"sub-{subject + 1:02d}_ses-{session}_task-{task}"
+        rec_dir = os.path.join(self.root, f"sub-{subject + 1:02d}", f"ses-{session}", "meg")
+        meg_path = os.path.join(rec_dir, f"{stem}_meg.npy")
+        ann_path = os.path.join(rec_dir, f"{stem}_annotations.json")
+        if not (os.path.exists(meg_path) and os.path.exists(ann_path)):
+            return None
+        meg = np.load(meg_path)
+        with open(ann_path) as f:
+            ann = json.load(f)
+        word_idxs, speech_onsets, sentence_idxs = parse_annotations(ann["description"])
+        meg_onsets = np.asarray(ann["onset"], np.float64)[word_idxs]
+        return meg, meg_onsets, speech_onsets, sentence_idxs
+
+
+class MNEBIDSSource:
+    """The reference's exact ingest path, used when mne_bids is installed
+    [ref: gwilliams2022.py:207-251]. Timestamps convert via
+    minute*60 + second + microsecond*1e-6 [ref: gwilliams2022.py:664-665]."""
+
+    def __init__(self, root_dir: str):
+        self.root = root_dir
+
+    def read(self, subject: int, session: int, task: int):
+        import mne
+        import mne_bids
+
+        mne.set_log_level(verbose="WARNING")
+        bids_path = mne_bids.BIDSPath(
+            subject=str(subject + 1).zfill(2),
+            session=str(session),
+            task=str(task),
+            datatype="meg",
+            root=self.root,
+        )
+        try:
+            raw = mne_bids.read_raw_bids(bids_path)
+        except Exception:
+            cprint("No .con data was found", "yellow")
+            return None
+        df = raw.to_data_frame()
+        df_annot = raw.annotations.to_data_frame()
+        word_idxs, speech_onsets, sentence_idxs = parse_annotations(
+            df_annot.description.to_list()
+        )
+        meg_onsets = np.array(
+            [o.minute * 60 + o.second + o.microsecond * 1e-6 for o in df_annot.onset]
+        )[word_idxs]
+        meg = np.stack([df[k] for k in df.keys() if "MEG" in k])
+        return meg, meg_onsets, speech_onsets, sentence_idxs
+
+
+def default_source(root_dir: str):
+    try:
+        import mne_bids  # noqa: F401
+
+        return MNEBIDSSource(root_dir)
+    except ImportError:
+        return ArrayBIDSSource(root_dir)
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class Gwilliams2022DatasetBase:
+    """Build-or-load X/Y caches, then ``batchfy()`` (split-mode hook).
+
+    After construction:
+      X: {key_no_task: {taskN: (208, T) float32 raw (unscaled) MEG}}
+      Y: (num_segments, F, seq_len) float32 audio embeddings
+      meg_onsets: {key_no_task: {taskN: (n_words,) sample indices}}
+    """
+
+    def __init__(self, args, wav2vec=None, source=None, num_subjects: int = 27,
+                 num_sessions: int = 2, num_tasks: int = 4):
+        self.root_dir = os.path.join(args.root_dir, "data", "Gwilliams2022")
+        self.preprocs = dict(args.preprocs)
+        self.brain_resample_rate = args.preprocs["brain_resample_rate"]
+        self.brain_filter_low = args.preprocs["brain_filter_low"]
+        self.brain_filter_high = args.preprocs["brain_filter_high"]
+        self.seq_len_samp = int(self.brain_resample_rate * args.preprocs["seq_len_sec"])
+        self.audio_resample_rate = args.preprocs["audio_resample_rate"]
+        self.lowpass_filter_width = args.preprocs["lowpass_filter_width"]
+        self.last4layers = args.preprocs["last4layers"]
+        self.shift_brain = args.preprocs["shift_brain"]
+        self.shift_len = args.preprocs["shift_len"]
+        self._wav2vec = wav2vec
+        self._source = source or default_source(self.root_dir)
+        self._dims = (num_subjects, num_sessions, num_tasks)
+
+        rebuild = bool(args.get("rebuild_dataset", False))
+        flags, self.preproc_dir = check_preprocs(
+            self.preprocs, os.path.join(self.root_dir, "preprocessed") + os.sep
+        )
+
+        x_path = os.path.join(self.preproc_dir, "x_dict.npy")
+        onsets_path = os.path.join(self.preproc_dir, "meg_onsets.npy")
+        speech_path = os.path.join(self.preproc_dir, "speech_onsets.npy")
+        sent_path = os.path.join(self.preproc_dir, "sentence_idxs.npy")
+        if rebuild or not flags["x_done"]:
+            X, meg_onsets, speech_onsets, sentence_idxs = self.brain_preproc_all()
+            np.save(x_path, X, allow_pickle=True)
+            np.save(onsets_path, meg_onsets, allow_pickle=True)
+            np.save(speech_path, speech_onsets, allow_pickle=True)
+            np.save(sent_path, sentence_idxs, allow_pickle=True)
+            mark_done(self.preprocs, self.preproc_dir, "x_done")
+            self.X, self.meg_onsets = X, meg_onsets
+            self.speech_onsets, self.sentence_idxs = speech_onsets, sentence_idxs
+        else:
+            self.X = np.load(x_path, allow_pickle=True).item()
+            self.meg_onsets = np.load(onsets_path, allow_pickle=True).item()
+            self.speech_onsets = np.load(speech_path, allow_pickle=True).item()
+            self.sentence_idxs = np.load(sent_path, allow_pickle=True).item()
+
+        y_path = os.path.join(self.preproc_dir, "y_dict.npy")
+        if rebuild or not flags["y_done"]:
+            Y = self.audio_preproc()
+            np.save(y_path, Y, allow_pickle=True)
+            mark_done(self.preprocs, self.preproc_dir, "y_done")
+            self.Y = Y
+        else:
+            self.Y = np.load(y_path, allow_pickle=True).item()
+
+        self.X, self.Y, self.meg_onsets, self.num_segments_foreach_task = self.batchfy()
+        assert len(self.X) == len(self.meg_onsets)
+        self.valid_subjects = np.array(
+            sorted(set(k.split("_")[0] for k in self.X.keys()))
+        )
+        self.num_subjects = len(self.valid_subjects)
+        cprint(
+            f"Gwilliams2022: {len(self.X)} sessions, {len(self.Y)} segments, "
+            f"{self.num_subjects} subjects",
+            "cyan",
+        )
+
+    # -- preprocessing ------------------------------------------------------
+
+    def brain_preproc_all(self):
+        """Read every available recording (host I/O), then run the fused
+        batched device filter+resample. Deterministic key order replaces the
+        reference's worker-pool + natsorted temp-file reassembly
+        [ref: gwilliams2022.py:267-325]."""
+        n_subj, n_sess, n_task = self._dims
+        raw_list, keys = [], []
+        meg_onsets: Dict[str, np.ndarray] = {}
+        speech_onsets: Dict[str, np.ndarray] = {}
+        sentence_idxs: Dict[str, np.ndarray] = {}
+        for subject in range(n_subj):
+            for session in range(n_sess):
+                for task in range(n_task):
+                    out = self._source.read(subject, session, task)
+                    if out is None:
+                        continue  # tolerate missing recordings
+                    meg, m_on, s_on, s_idx = out
+                    key = f"subject{subject + 1:02d}_sess{session}_task{task}"
+                    task_str = f"task{task}"
+                    if task_str in speech_onsets:
+                        # cross-subject consistency contract
+                        # [ref: gwilliams2022.py:239-243]
+                        assert np.allclose(
+                            speech_onsets[task_str], s_on
+                        ), "Speech onsets are different"
+                        assert np.array_equal(sentence_idxs[task_str], s_idx)
+                    speech_onsets[task_str] = s_on
+                    sentence_idxs[task_str] = s_idx
+                    meg_onsets[key] = m_on
+                    raw_list.append(np.asarray(meg[:NUM_MEG_CHANNELS], np.float32))
+                    keys.append(key)
+        assert raw_list, f"no recordings found under {self.root_dir}"
+        cprint(f"Batched device preprocessing of {len(raw_list)} recordings", "cyan")
+        outs = preprocess_batch(
+            raw_list,
+            BRAIN_ORIG_RATE,
+            self.brain_filter_low,
+            self.brain_filter_high,
+            float(self.brain_resample_rate),
+        )
+        X = {k: o.astype(np.float32) for k, o in zip(keys, outs)}
+        return X, meg_onsets, speech_onsets, sentence_idxs
+
+    def audio_preproc(self) -> Dict[str, np.ndarray]:
+        """Per task: stimulus wavs -> 16 kHz -> wav2vec embeddings -> 120 Hz
+        [ref: gwilliams2022.py:327-387]."""
+        from speech_decoding_tpu.models.wav2vec_util import embed_waveform
+
+        stim_dir = os.path.join(self.root_dir, "stimuli", "audio")
+        assert os.path.exists(stim_dir), f"missing {stim_dir}"
+        Y: Dict[str, np.ndarray] = {}
+        for task_str in sorted(self.speech_onsets.keys()):
+            task_id = int(task_str[-1])
+            paths = natsorted(
+                glob(os.path.join(stim_dir, f"{TASK_PREFIXES[task_id]}*.wav"))
+            )
+            chunks = []
+            for path in paths:
+                wave, sr = load_wav(path)
+                wave16 = np.asarray(
+                    sinc_resample(
+                        wave[:1], sr, self.audio_resample_rate,
+                        lowpass_filter_width=self.lowpass_filter_width,
+                    )
+                )
+                emb = embed_waveform(self._wav2vec, wave16[0], self.last4layers)
+                rate_after = self.audio_resample_rate * emb.shape[-1] / wave16.shape[-1]
+                emb = np.asarray(
+                    fft_resample(
+                        np.asarray(emb, np.float64),
+                        up=self.brain_resample_rate / rate_after,
+                    )
+                )
+                chunks.append(emb)
+            Y[task_str] = np.concatenate(chunks, axis=-1).astype(np.float32)
+        return Y
+
+    # -- shared batchfy machinery -------------------------------------------
+
+    def _shift(self, data: np.ndarray, is_Y: bool) -> np.ndarray:
+        """150 ms brain shift [ref: gwilliams2022.py:170-180]."""
+        shift = int(self.brain_resample_rate * (self.shift_len / 1000))
+        return data[:, :-shift] if is_Y else data[:, shift:]
+
+    def segment_speech(self, Y: np.ndarray, task_str: str) -> np.ndarray:
+        onsets = (
+            (self.speech_onsets[task_str] * self.brain_resample_rate).round().astype(int)
+        )
+        segs = [Y[:, o : o + self.seq_len_samp] for o in onsets]
+        return np.stack(segs)
+
+    def sentence_to_word_idxs(self, wanted_sentences, task_str: str) -> List[int]:
+        sidx = self.sentence_idxs[task_str]
+        wanted = set(np.asarray(wanted_sentences).tolist())
+        return [i for i, s in enumerate(sidx) if s in wanted]
+
+    def drop_task_missing_sessions(self) -> None:
+        """Drop sessions lacking the full task set [ref: gwilliams2022.py:182-190]."""
+        n_tasks = self._dims[2]
+        sess_strs = set("_".join(k.split("_")[:-1]) for k in self.X.keys())
+        for sess in sess_strs:
+            keys = [k for k in self.X.keys() if k.startswith(sess + "_")]
+            if len(keys) < n_tasks:
+                for k in keys:
+                    self.X.pop(k)
+                    self.meg_onsets.pop(k)
+
+    def _make_Y(self, word_filter) -> Tuple[np.ndarray, List[int]]:
+        """Segment Y per task at word onsets, optionally filtered by
+        word_filter(task_str) -> indices (None = keep all)."""
+        Y_list = []
+        for task_str in sorted(self.Y.keys(), key=lambda s: int(s[-1])):
+            Y = self.Y[task_str]
+            if self.shift_brain:
+                Y = self._shift(Y, is_Y=True)
+            segs = self.segment_speech(Y, task_str)
+            idxs = word_filter(task_str) if word_filter else None
+            if idxs is not None:
+                segs = segs[idxs]
+            Y_list.append(segs.astype(np.float32))
+        counts = [len(y) for y in Y_list]
+        return np.concatenate(Y_list), counts
+
+    def _make_X(self, onset_filter):
+        """Group X/onsets by session key; onsets to sample indices, optionally
+        filtered per task by onset_filter(task_str) -> indices."""
+        self.drop_task_missing_sessions()
+        assert len(self.X) % self._dims[2] == 0
+        X_dict: Dict[str, Dict[str, np.ndarray]] = {}
+        onsets_dict: Dict[str, Dict[str, np.ndarray]] = {}
+        for key in natsorted(self.X.keys()):
+            X = self.X[key]
+            task_str = key.split("_")[-1]
+            key_no_task = "_".join(key.split("_")[:-1])
+            if self.shift_brain:
+                X = self._shift(X, is_Y=False)
+            onsets = (
+                (self.meg_onsets[key] * self.brain_resample_rate).round().astype(int)
+            )
+            idxs = onset_filter(task_str) if onset_filter else None
+            if idxs is not None:
+                onsets = onsets[idxs]
+            X_dict.setdefault(key_no_task, {})[task_str] = X.astype(np.float32)
+            onsets_dict.setdefault(key_no_task, {})[task_str] = onsets
+        return X_dict, onsets_dict
+
+    def batchfy(self):  # overridden by split subclasses
+        raise NotImplementedError
+
+    # -- segment access ------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.Y)
+
+    def segment_to_task(self, i: int) -> Tuple[int, str]:
+        accum = np.cumsum(self.num_segments_foreach_task)
+        task = int(np.searchsorted(accum, i + 1))
+        i_in_task = int(i - (accum[task - 1] if task else 0))
+        return i_in_task, f"task{task}"
+
+    def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
+        """Assemble a batch: per segment a RANDOM session key
+        [ref: gwilliams2022.py:129-142]; X is the raw onset slice (scaling
+        happens in the train step's collate)."""
+        keys = list(self.X.keys())
+        L = self.seq_len_samp
+        xs, sids = [], []
+        for i in segment_ids:
+            i_in_task, task = self.segment_to_task(int(i))
+            key = keys[rng.integers(len(keys))]
+            onset = self.meg_onsets[key][task][i_in_task]
+            xs.append(self.X[key][task][:, onset : onset + L])
+            sids.append(
+                int(np.where(self.valid_subjects == key.split("_")[0])[0][0])
+            )
+        return {
+            "X": np.stack(xs),
+            "Y": self.Y[segment_ids],
+            "subject_idxs": np.asarray(sids, np.int32),
+        }
+
+
+class Gwilliams2022ShallowSplit(Gwilliams2022DatasetBase):
+    """Keep all segments; the random 80/20 split happens downstream
+    [ref: gwilliams2022.py:494-557, train.py:74-78]."""
+
+    def batchfy(self):
+        Y, counts = self._make_Y(None)
+        X, onsets = self._make_X(None)
+        return X, Y, onsets, counts
+
+
+class Gwilliams2022SentenceSplit(Gwilliams2022DatasetBase):
+    """Split at sentence granularity: shuffle unique sentence ids per task,
+    split by ratio, map back to word indices; a train instance computes and
+    exposes test_word_idxs_dict for the test instance
+    [ref: gwilliams2022.py:390-491, train.py:58-59]."""
+
+    def __init__(self, args, test_word_idxs_dict=None, **kw):
+        self.train = test_word_idxs_dict is None
+        self.test_word_idxs_dict = test_word_idxs_dict
+        self.split_ratio = args.split_ratio
+        super().__init__(args, **kw)
+
+    def batchfy(self):
+        if self.train:
+            train_idxs: Dict[str, List[int]] = {}
+            test_idxs: Dict[str, List[int]] = {}
+            for task_str in sorted(self.Y.keys(), key=lambda s: int(s[-1])):
+                sentences = np.unique(self.sentence_idxs[task_str])
+                np.random.shuffle(sentences)
+                split = int(len(sentences) * self.split_ratio)
+                train_idxs[task_str] = self.sentence_to_word_idxs(
+                    sentences[:split], task_str
+                )
+                test_idxs[task_str] = self.sentence_to_word_idxs(
+                    sentences[split:], task_str
+                )
+            self.test_word_idxs_dict = test_idxs
+            word_filter = lambda t: train_idxs[t]
+        else:
+            word_filter = lambda t: self.test_word_idxs_dict[t]
+        Y, counts = self._make_Y(word_filter)
+        X, onsets = self._make_X(word_filter)
+        return X, Y, onsets, counts
+
+
+class Gwilliams2022DeepSplit(Gwilliams2022DatasetBase):
+    """Temporal split: first ratio of each task's segments = train
+    [ref: gwilliams2022.py:560-637]."""
+
+    def __init__(self, args, train: bool, **kw):
+        self.train = train
+        self.split_ratio = args.split_ratio
+        super().__init__(args, **kw)
+
+    def batchfy(self):
+        def word_filter(task_str):
+            n = len(self.speech_onsets[task_str])
+            split = int(n * self.split_ratio)
+            return list(range(split)) if self.train else list(range(split, n))
+
+        Y, counts = self._make_Y(word_filter)
+        X, onsets = self._make_X(word_filter)
+        return X, Y, onsets, counts

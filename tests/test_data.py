@@ -1,0 +1,209 @@
+"""Dataset pipeline tests on synthetic fixtures: Brennan2018 (fake .mat/.wav),
+Gwilliams2022 (array-BIDS tree), preproc cache contract, onset parsing,
+samplers."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import fixtures
+from speech_decoding_tpu.data.gwilliams2022 import (
+    ArrayBIDSSource,
+    Gwilliams2022DeepSplit,
+    Gwilliams2022SentenceSplit,
+    Gwilliams2022ShallowSplit,
+    continuous,
+    parse_annotations,
+)
+from speech_decoding_tpu.data.preproc_cache import check_preprocs, mark_done
+from speech_decoding_tpu.data.sampling import (
+    iter_shuffled_batches,
+    iter_updates_batches,
+    random_split,
+)
+
+
+@pytest.fixture(scope="module")
+def brennan_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("brennan"))
+    fixtures.make_brennan_tree(root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def gwilliams_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gwilliams"))
+    fixtures.make_gwilliams_tree(root, missing=((1, 1),))
+    return root
+
+
+@pytest.fixture(scope="module")
+def w2v():
+    return fixtures.tiny_wav2vec()
+
+
+class TestOnsetLogic:
+    def test_continuous_stitching(self):
+        onsets = np.array([0.0, 1.0, 2.5, 0.2, 1.1, 0.3])
+        out = continuous(onsets.copy())
+        np.testing.assert_allclose(out, [0.0, 1.0, 2.5, 2.7, 3.6, 3.9])
+
+    def test_parse_annotations_filters_words(self):
+        desc = [
+            {"start": 0.1, "kind": "phoneme", "sequence_id": 0},
+            {"start": 0.1, "kind": "word", "sequence_id": 0},
+            {"start": 0.5, "kind": "word", "sequence_id": 1},
+            "{'start': 0.6, 'kind': 'phoneme', 'sequence_id': 1}",
+        ]
+        idxs, onsets, sents = parse_annotations(desc)
+        np.testing.assert_array_equal(idxs, [1, 2])
+        np.testing.assert_allclose(onsets, [0.1, 0.5])
+        np.testing.assert_array_equal(sents, [0, 1])
+
+
+class TestPreprocCache:
+    def test_match_and_stage_flags(self, tmp_path):
+        d = str(tmp_path) + os.sep
+        pre = {"a": 1, "b": [1, 2]}
+        flags, dir0 = check_preprocs(pre, d)
+        assert flags == {"x_done": False, "y_done": False}
+        flags = mark_done(pre, dir0, "x_done")
+        assert flags["x_done"] and not flags["y_done"]
+        # same params -> same dir with persisted stage flags
+        flags2, dir1 = check_preprocs(pre, d)
+        assert dir1 == dir0 and flags2["x_done"]
+        # different params -> new numbered dir
+        _, dir2 = check_preprocs({"a": 2, "b": [1, 2]}, d)
+        assert dir2 != dir0
+
+
+class TestBrennan:
+    def test_end_to_end_build_and_sample(self, brennan_root, w2v):
+        from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+        cfg = fixtures.make_config(brennan_root, "Brennan2018")
+        cfg.rebuild_dataset = True
+        ds = Brennan2018Dataset(cfg, wav2vec=w2v)
+        assert ds.num_subjects == 4
+        assert len(ds) > 3
+        # embeddings and EEG share the segment grid
+        assert ds.X.shape[-1] == ds.Y.shape[-1]
+        assert ds.X.shape[1] == 60
+        # the EEG rate is DERIVED from the audio-embedding length
+        # [ref: brennan2018.py:269-270]; with the tiny test wav2vec (conv
+        # stride 20 instead of 320) it lands near 1916 Hz, not 120 Hz
+        assert ds.srate > 0
+
+        rng = np.random.default_rng(0)
+        seg = np.arange(3)
+        batch, chunk_ids = ds.sample_batch(rng, seg)
+        assert batch["X"].shape == (3, 60, ds.seq_len_samp)
+        assert batch["Y"].shape[0] == 3 and batch["Y"].shape[-1] == ds.seq_len_samp
+        assert np.unique(chunk_ids).size == 3
+        # baseline correction: first 0.5 s mean per channel ~ 0
+        base = batch["X"][..., : ds.baseline_len_samp].mean(-1)
+        np.testing.assert_allclose(base, 0.0, atol=1e-4)
+        # robust scaling + clamp applied
+        assert np.abs(batch["X"]).max() <= cfg.preprocs["clamp_lim"]
+
+    def test_cache_reuse(self, brennan_root, w2v):
+        from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+        cfg = fixtures.make_config(brennan_root, "Brennan2018")
+        cfg.rebuild_dataset = False
+        ds = Brennan2018Dataset(cfg, wav2vec=w2v)  # loads the npz caches
+        assert ds.num_subjects == 4
+
+
+class TestGwilliams:
+    def _cfg(self, root):
+        cfg = fixtures.make_config(root, "Gwilliams2022")
+        return cfg
+
+    def test_shallow_build(self, gwilliams_root, w2v):
+        cfg = self._cfg(gwilliams_root)
+        cfg.rebuild_dataset = True
+        ds = Gwilliams2022ShallowSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        # (subj1 x 2 sessions + subj2 x 1 session) present; sess (1,1) missing
+        assert ds.num_subjects == 2
+        assert len(ds.X) == 3  # session keys
+        assert len(ds) == sum(ds.num_segments_foreach_task)
+        assert ds.Y.shape[1:] == (ds.Y.shape[1], 360)
+
+        rng = np.random.default_rng(0)
+        batch = ds.sample_batch(rng, np.arange(4))
+        assert batch["X"].shape == (4, 208, 360)
+        assert batch["Y"].shape[0] == 4
+        assert set(batch["subject_idxs"]) <= {0, 1}
+
+    def test_cache_and_sentence_split(self, gwilliams_root, w2v):
+        cfg = self._cfg(gwilliams_root)
+        np.random.seed(0)
+        train = Gwilliams2022SentenceSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        test = Gwilliams2022SentenceSplit(
+            cfg,
+            test_word_idxs_dict=train.test_word_idxs_dict,
+            wav2vec=w2v,
+            num_subjects=2,
+            num_sessions=2,
+            num_tasks=2,
+        )
+        assert train.num_subjects == test.num_subjects
+        # split partitions the word set per task
+        total = len(train) + len(test)
+        full = Gwilliams2022ShallowSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        assert total == len(full)
+        # no overlap between train/test word indices
+        for task, test_idxs in train.test_word_idxs_dict.items():
+            assert len(set(test_idxs)) == len(test_idxs)
+
+    def test_deep_split(self, gwilliams_root, w2v):
+        cfg = self._cfg(gwilliams_root)
+        train = Gwilliams2022DeepSplit(
+            cfg, train=True, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        test = Gwilliams2022DeepSplit(
+            cfg, train=False, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        for i, (a, b) in enumerate(
+            zip(train.num_segments_foreach_task, test.num_segments_foreach_task)
+        ):
+            assert a + b == 24  # n_words_per_task in the fixture
+
+    def test_raw_source_missing_recording(self, gwilliams_root):
+        src = ArrayBIDSSource(os.path.join(gwilliams_root, "data", "Gwilliams2022"))
+        assert src.read(1, 1, 0) is None  # the (1,1) session is missing
+        out = src.read(0, 0, 0)
+        assert out is not None
+        meg, m_on, s_on, s_idx = out
+        assert meg.shape[0] == 224
+        assert len(m_on) == len(s_on) == len(s_idx) == 24
+
+
+class TestSampling:
+    def test_random_split(self):
+        rng = np.random.default_rng(0)
+        tr, te = random_split(100, 0.8, rng)
+        assert len(tr) == 80 and len(te) == 20
+        assert set(tr) | set(te) == set(range(100))
+
+    def test_updates_batches(self):
+        rng = np.random.default_rng(0)
+        batches = list(iter_updates_batches(np.arange(50), 8, 10, rng))
+        assert len(batches) == 10
+        for b in batches:
+            assert len(b) == 8 and np.unique(b).size == 8  # unique within batch
+
+    def test_shuffled_batches(self):
+        rng = np.random.default_rng(0)
+        batches = list(iter_shuffled_batches(np.arange(20), 8, rng))
+        got = np.concatenate(batches)
+        assert sorted(got.tolist()) == sorted(set(got.tolist()))
