@@ -63,6 +63,7 @@ class Brennan2018Dataset:
 
     def __init__(self, args, wav2vec=None):
         self.root_dir = args.root_dir
+        self.wav2vec_model = args.wav2vec_model
         self.seq_len_sec = args.preprocs["seq_len_sec"]
         self.baseline_len_sec = args.preprocs["baseline_len_sec"]
         self.clamp = args.preprocs["clamp"]
@@ -119,7 +120,13 @@ class Brennan2018Dataset:
     # -- preprocessing stages -------------------------------------------------
 
     def audio_preproc(self, last4layers: bool) -> np.ndarray:
-        from speech_decoding_tpu.models.wav2vec_util import embed_waveform
+        from speech_decoding_tpu.models.wav2vec_util import (
+            embed_waveform,
+            load_wav2vec_model,
+        )
+
+        if self._wav2vec is None:  # lazy: only needed on rebuild
+            self._wav2vec = load_wav2vec_model(self.wav2vec_model)
 
         audio_paths = natsorted(
             glob(os.path.join(self.root_dir, "data", "Brennan2018", "audio", "*.wav"))

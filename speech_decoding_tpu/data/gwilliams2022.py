@@ -183,6 +183,7 @@ class Gwilliams2022DatasetBase:
     def __init__(self, args, wav2vec=None, source=None, num_subjects: int = 27,
                  num_sessions: int = 2, num_tasks: int = 4):
         self.root_dir = os.path.join(args.root_dir, "data", "Gwilliams2022")
+        self.wav2vec_model = args.wav2vec_model
         self.preprocs = dict(args.preprocs)
         self.brain_resample_rate = args.preprocs["brain_resample_rate"]
         self.brain_filter_low = args.preprocs["brain_filter_low"]
@@ -290,7 +291,13 @@ class Gwilliams2022DatasetBase:
     def audio_preproc(self) -> Dict[str, np.ndarray]:
         """Per task: stimulus wavs -> 16 kHz -> wav2vec embeddings -> 120 Hz
         [ref: gwilliams2022.py:327-387]."""
-        from speech_decoding_tpu.models.wav2vec_util import embed_waveform
+        from speech_decoding_tpu.models.wav2vec_util import (
+            embed_waveform,
+            load_wav2vec_model,
+        )
+
+        if self._wav2vec is None:  # lazy: only needed on rebuild
+            self._wav2vec = load_wav2vec_model(self.wav2vec_model)
 
         stim_dir = os.path.join(self.root_dir, "stimuli", "audio")
         assert os.path.exists(stim_dir), f"missing {stim_dir}"

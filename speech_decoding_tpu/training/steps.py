@@ -77,6 +77,41 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_forward_step(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """Train-mode forward WITHOUT a parameter update: BN batch stats are used
+    and running stats updated, spatial dropout active, metrics computed —
+    exactly what the reference's non-final Brennan batches effectively do
+    (grads of all but the last batch are discarded [ref: train.py:205-209]).
+    Used only by the legacy-accumulation compatibility mode."""
+
+    def forward_step(state: TrainState, batch: Batch, dropout_key: Array):
+        X = _maybe_collate(batch["X"], collate)
+        Z, mutated = encoder.apply(
+            {"params": state.params["encoder"], "batch_stats": state.batch_stats},
+            X,
+            batch["subject_idxs"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = clip_loss(batch["Y"], Z, state.params["clip"]["temp"][0], reduction)
+        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        state = state.replace(batch_stats=mutated["batch_stats"])
+        metrics = {
+            "loss": loss,
+            "top1": top1,
+            "top10": top10,
+            "temp": state.params["clip"]["temp"][0],
+        }
+        return state, metrics
+
+    return jax.jit(forward_step)
+
+
 def make_eval_step(
     encoder,
     reduction: str = "mean",

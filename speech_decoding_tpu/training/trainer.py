@@ -1,0 +1,180 @@
+"""Training orchestration: the reference's epoch loop, TPU-native.
+
+Mirrors train.py's semantics [ref: train.py:166-259]:
+  * per-epoch: train batches -> loss/top1/top10 accumulation -> full-test-set
+    eval -> stdout metrics line -> optional W&B -> checkpoint;
+  * Gwilliams: per-batch Adam steps over ``updates`` sampled batches;
+  * Brennan: one optimizer step per epoch. The reference only backprops the
+    *last* batch [ref: train.py:205-209] — ``brennan_legacy_accumulation``
+    replicates that quirk; the default accumulates all batch grads correctly
+    via optax.MultiSteps.
+
+TPU specifics: one jitted step per phase; host batch assembly is numpy
+gathers; batches are device_put with a data-axis NamedSharding when a mesh
+with >1 device is available; step-time / segments-per-second counters feed
+the bench.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from speech_decoding_tpu.models.classifier import retrieval_metrics
+from speech_decoding_tpu.models.loss import clip_loss
+from speech_decoding_tpu.parallel.mesh import batch_sharding, make_mesh
+from speech_decoding_tpu.training.checkpoint import CheckpointManager
+from speech_decoding_tpu.training.state import TrainState, create_train_state
+from speech_decoding_tpu.training.steps import (
+    make_eval_step,
+    make_train_forward_step,
+    make_train_step,
+)
+from speech_decoding_tpu.utils.logging import cprint
+
+
+class NoopLogger:
+    def log(self, metrics: Dict) -> None:
+        pass
+
+
+def make_wandb_logger(args):
+    """W&B metric logging, gated on availability [ref: train.py:134-143]."""
+    try:
+        import wandb
+    except ImportError:
+        cprint("wandb not installed; metrics go to stdout only", "yellow")
+        return NoopLogger()
+    config = {k: v for k, v in args.to_dict().items() if k not in ("root_dir", "wandb")}
+    wandb.init(
+        project=args.wandb.project, entity=args.wandb.entity, config=config,
+        save_code=True,
+    )
+    wandb.run.name = f"{args.wandb.run_name}_{args.split_mode}"
+    wandb.run.save()
+    return wandb
+
+
+class Trainer:
+    """Drives train/eval epochs for either dataset family.
+
+    train_batches_fn(rng, epoch) must yield host batch dicts
+    {X, Y, subject_idxs}; test_batch_fn() returns the single full-test-set
+    batch [ref: train.py:95-99]."""
+
+    def __init__(
+        self,
+        encoder,
+        args,
+        sample_batch: Dict[str, np.ndarray],
+        accumulate_steps: int = 1,
+        collate: Optional[Dict] = None,
+        logger=None,
+        checkpoints: Optional[CheckpointManager] = None,
+    ):
+        self.args = args
+        self.encoder = encoder
+        self.logger = logger or NoopLogger()
+        self.checkpoints = checkpoints
+        self.legacy_last_batch_only = bool(
+            args.select("tpu.brennan_legacy_accumulation", False)
+        )
+
+        key = jax.random.PRNGKey(int(args.get("seed", 0)))
+        self.state = create_train_state(
+            encoder,
+            key,
+            sample_batch["X"],
+            sample_batch["subject_idxs"],
+            init_temperature=float(args.init_temperature),
+            lr=float(args.lr),
+            accumulate_steps=accumulate_steps,
+        )
+        self.train_step = make_train_step(encoder, args.reduction, collate, donate=True)
+        self.eval_step = make_eval_step(encoder, args.reduction, collate)
+        self.forward_step = (
+            make_train_forward_step(encoder, args.reduction, collate)
+            if self.legacy_last_batch_only
+            else None
+        )
+        self.start_epoch = 0
+        if self.checkpoints and args.select("checkpoint.resume", True):
+            if self.checkpoints.latest_epoch() is not None:
+                self.state, epoch = self.checkpoints.restore(self.state)
+                self.start_epoch = epoch + 1
+
+        devices = jax.devices()
+        batch_div = sample_batch["X"].shape[0] % len(devices) == 0
+        self.mesh = make_mesh() if len(devices) > 1 and batch_div else None
+        self._sharding = batch_sharding(self.mesh) if self.mesh else None
+        self._key = jax.random.fold_in(key, 977)
+        self.history: List[Dict] = []
+
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        B = batch["X"].shape[0]
+        if self._sharding is not None and B % self.mesh.shape["data"] == 0:
+            return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def run_epoch(
+        self,
+        epoch: int,
+        train_batches: Iterable[Dict[str, np.ndarray]],
+        test_batch: Optional[Dict[str, np.ndarray]],
+    ) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        train_metrics: List[Dict] = []
+        segments = 0
+        if self.legacy_last_batch_only:
+            # reference quirk: only the LAST batch's grads step the optimizer
+            # [ref: train.py:205-209]
+            train_batches = list(train_batches)
+        last_idx = len(train_batches) - 1 if isinstance(train_batches, list) else -1
+        for i, batch in enumerate(train_batches):
+            self._key, k = jax.random.split(self._key)
+            segments += batch["X"].shape[0]
+            if self.legacy_last_batch_only and i != last_idx:
+                self.state, metrics = self.forward_step(self.state, self._put(batch), k)
+            else:
+                self.state, metrics = self.train_step(self.state, self._put(batch), k)
+            train_metrics.append(metrics)
+        # pull once per epoch (metrics are tiny; avoids per-step syncs)
+        train_metrics = [
+            {k: float(v) for k, v in jax.device_get(m).items()} for m in train_metrics
+        ]
+        train_time = time.perf_counter() - t0
+
+        out: Dict[str, float] = {
+            "epoch": epoch,
+            "train_loss": float(np.mean([m["loss"] for m in train_metrics])),
+            "trainTop1acc": float(np.mean([m["top1"] for m in train_metrics])),
+            "trainTop10acc": float(np.mean([m["top10"] for m in train_metrics])),
+            "temp": train_metrics[-1]["temp"],
+            "lrate": float(self.args.lr),
+            "train_segments_per_sec": segments / max(train_time, 1e-9),
+        }
+
+        if test_batch is not None:
+            ev = {k: float(v) for k, v in self.eval_step(self.state, self._put(test_batch)).items()}
+            out.update(
+                test_loss=ev["loss"], testTop1acc=ev["top1"], testTop10acc=ev["top10"]
+            )
+
+        cprint(
+            f"Ep {epoch}/{self.args.epochs} | "
+            f"train l: {out['train_loss']:.3f} | "
+            f"test l: {out.get('test_loss', float('nan')):.3f} | "
+            f"trainTop10acc: {out['trainTop10acc']:.3f} | "
+            f"testTop10acc: {out.get('testTop10acc', float('nan')):.3f} | "
+            f"temp: {out['temp']:.3f} | "
+            f"{out['train_segments_per_sec']:.1f} seg/s",
+            "white",
+        )
+        self.logger.log(out)
+        self.history.append(out)
+        if self.checkpoints:
+            self.checkpoints.save(epoch, self.state)
+        return out

@@ -29,12 +29,24 @@ def make_config(root_dir: str, dataset: str = "Brennan2018", **over) -> Config:
 
 
 def tiny_wav2vec():
+    """Tiny random wav2vec with the REAL total stride (320) so derived rates
+    land near 120 Hz like the true model."""
     import jax
 
     from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
     from speech_decoding_tpu.models.wav2vec_util import FrozenWav2Vec2
 
-    cfg = Wav2Vec2Config.tiny()
+    cfg = Wav2Vec2Config(
+        conv_dim=(16, 16, 16),
+        conv_stride=(10, 8, 4),
+        conv_kernel=(10, 8, 4),
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
     model = Wav2Vec2Model(cfg)
     variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 400), np.float32))
     return FrozenWav2Vec2(cfg, variables)

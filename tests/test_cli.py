@@ -1,0 +1,78 @@
+"""End-to-end CLI tests: build caches with the tiny wav2vec, then drive
+train.run(args) for both datasets on fixture data — epoch loop, eval,
+checkpointing, resume."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import fixtures
+import train as train_cli
+
+
+def _common_overrides(cfg):
+    cfg.epochs = 2
+    cfg.batch_size = 4
+    cfg.updates = 3
+    cfg.D1 = 16
+    cfg.D2 = 16
+    cfg.K = 4
+    cfg.F = 16
+    cfg.preprocs.last4layers = False  # F=16 (tiny w2v feature dim)
+    cfg.set_path("tpu.compute_dtype", "float32")
+    cfg.set_path("checkpoint.keep", 2)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def w2v():
+    return fixtures.tiny_wav2vec()
+
+
+def test_brennan_cli_end_to_end(tmp_path, w2v):
+    root = str(tmp_path)
+    fixtures.make_brennan_tree(root, eeg_secs=30.0, audio_secs=30.0)
+    cfg = _common_overrides(fixtures.make_config(root, "Brennan2018"))
+
+    # pre-build caches with the tiny wav2vec (no network)
+    from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+    build_cfg = cfg.copy()
+    build_cfg.root_dir = root
+    build_cfg.rebuild_dataset = True
+    Brennan2018Dataset(build_cfg, wav2vec=w2v)
+
+    train_cli.run(cfg)
+    ckpt_dir = os.path.join(root, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+
+def test_gwilliams_cli_and_resume(tmp_path, w2v):
+    root = str(tmp_path)
+    fixtures.make_gwilliams_tree(root)
+    cfg = _common_overrides(fixtures.make_config(root, "Gwilliams2022"))
+    cfg.split_mode = "shallow"
+    cfg.set_path("gwilliams.num_subjects", 2)
+    cfg.set_path("gwilliams.num_sessions", 2)
+    cfg.set_path("gwilliams.num_tasks", 2)
+
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+
+    build_cfg = cfg.copy()
+    build_cfg.rebuild_dataset = True
+    Gwilliams2022ShallowSplit(
+        build_cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+    )
+
+    train_cli.run(cfg)
+    ckpt_dir = os.path.join(root, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # resume: runs epochs 2.. from the checkpoint
+    cfg2 = cfg.copy()
+    cfg2.epochs = 3
+    train_cli.run(cfg2)

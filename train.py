@@ -1,0 +1,175 @@
+"""CLI entry point — same surface as the reference:
+
+    python train.py dataset=Gwilliams2022 split_mode=sentence
+    python train.py dataset=Brennan2018 rebuild_dataset=True
+
+[ref: train.py:28-263, README.md:20-25]. Hydra-free: YAML config +
+key=value overrides (speech_decoding_tpu.config). Dataset dispatch, sampler
+semantics, epoch loop, eval, W&B and checkpointing follow the reference;
+compute runs jitted on TPU (see speech_decoding_tpu.training).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def build_gwilliams(args, rng):
+    """Dataset + split pools [ref: train.py:54-101]."""
+    from speech_decoding_tpu.data.gwilliams2022 import (
+        Gwilliams2022DeepSplit,
+        Gwilliams2022SentenceSplit,
+        Gwilliams2022ShallowSplit,
+    )
+    from speech_decoding_tpu.data.sampling import random_split
+
+    # dataset dimensions (27 subjects x 2 sessions x 4 tasks in the real
+    # MEG-MASC release [ref: gwilliams2022.py:267,283-285]); overridable for
+    # subsets
+    dims = dict(
+        num_subjects=int(args.select("gwilliams.num_subjects", 27)),
+        num_sessions=int(args.select("gwilliams.num_sessions", 2)),
+        num_tasks=int(args.select("gwilliams.num_tasks", 4)),
+    )
+    if args.split_mode == "sentence":
+        train_set = Gwilliams2022SentenceSplit(args, **dims)
+        test_set = Gwilliams2022SentenceSplit(
+            args, train_set.test_word_idxs_dict, **dims
+        )
+        assert train_set.num_subjects == test_set.num_subjects
+        train_pool = np.arange(len(train_set))
+        test_pool = np.arange(len(test_set))
+    elif args.split_mode == "shallow":
+        train_set = test_set = Gwilliams2022ShallowSplit(args, **dims)
+        train_pool, test_pool = random_split(len(train_set), args.split_ratio, rng)
+    elif args.split_mode == "deep":
+        train_set = Gwilliams2022DeepSplit(args, train=True, **dims)
+        test_set = Gwilliams2022DeepSplit(args, train=False, **dims)
+        assert train_set.num_subjects == test_set.num_subjects
+        train_pool = np.arange(len(train_set))
+        test_pool = np.arange(len(test_set))
+    else:
+        raise ValueError(f"Unknown split_mode: {args.split_mode}")
+    return train_set, test_set, train_pool, test_pool
+
+
+def run(args) -> None:
+    import jax
+
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.data.sampling import (
+        iter_shuffled_batches,
+        iter_updates_batches,
+        random_split,
+    )
+    from speech_decoding_tpu.models import BrainEncoder
+    from speech_decoding_tpu.training.checkpoint import CheckpointManager
+    from speech_decoding_tpu.training.trainer import Trainer, make_wandb_logger, NoopLogger
+    from speech_decoding_tpu.utils.logging import cprint
+    from speech_decoding_tpu.utils.reproducibility import seed_everything
+
+    seed = int(args.get("seed", 0)) if args.reproducible else int(args.get("seed", 0))
+    seed_everything(seed)
+    rng = np.random.default_rng(seed)
+    cprint(f"Devices: {jax.devices()}", "cyan")
+    cprint(args, "white")
+
+    collate = None
+    if args.dataset == "Gwilliams2022":
+        train_set, test_set, train_pool, test_pool = build_gwilliams(args, rng)
+        num_subjects = train_set.num_subjects
+        # batch-time baseline/scale/clamp (the reference collator)
+        collate = {
+            "baseline_len_samp": int(
+                args.preprocs["brain_resample_rate"] * args.preprocs["baseline_len_sec"]
+            ),
+            "clamp_lim": float(args.preprocs["clamp_lim"]),
+            "clamp": bool(args.preprocs["clamp"]),
+        }
+        accumulate_steps = 1
+
+        def train_batches(epoch_rng):
+            if args.use_sampler:
+                ids_iter = iter_updates_batches(
+                    train_pool, args.batch_size, args.updates, epoch_rng
+                )
+            else:
+                ids_iter = iter_shuffled_batches(train_pool, args.batch_size, epoch_rng)
+            for ids in ids_iter:
+                yield train_set.sample_batch(epoch_rng, ids)
+
+    elif args.dataset == "Brennan2018":
+        from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+        train_set = test_set = Brennan2018Dataset(args)
+        num_subjects = train_set.num_subjects
+        train_pool, test_pool = random_split(len(train_set), args.split_ratio, rng)
+        cprint(
+            f"Number of samples: {len(train_pool)} (train), {len(test_pool)} (test)",
+            "blue",
+        )
+        # one optimizer step per epoch [ref: train.py:205-209], correctly
+        # accumulated over a fixed number of batches
+        accumulate_steps = max(1, len(train_pool) // args.batch_size)
+
+        def train_batches(epoch_rng):
+            for ids in iter_shuffled_batches(
+                train_pool, args.batch_size, epoch_rng, drop_last=accumulate_steps > 1
+            ):
+                yield train_set.sample_batch(epoch_rng, ids)[0]
+
+    else:
+        raise ValueError("Unknown dataset")
+
+    loc = ch_locations_2d(args.dataset, args.root_dir)
+    encoder = BrainEncoder.from_config(args, loc, num_subjects)
+
+    first = next(iter(train_batches(np.random.default_rng(seed))))
+    logger = make_wandb_logger(args) if args.use_wandb else NoopLogger()
+    ckpts = CheckpointManager(
+        os.path.join(args.root_dir, args.select("checkpoint.dir", "checkpoints")),
+        keep=int(args.select("checkpoint.keep", 3)),
+        every_epochs=int(args.select("checkpoint.every_epochs", 1)),
+    )
+    trainer = Trainer(
+        encoder,
+        args,
+        first,
+        accumulate_steps=accumulate_steps,
+        collate=collate,
+        logger=logger,
+        checkpoints=ckpts,
+    )
+
+    def test_batch():
+        tb_rng = np.random.default_rng(seed + 1)
+        if args.dataset == "Brennan2018":
+            return test_set.sample_batch(tb_rng, test_pool)[0]
+        return test_set.sample_batch(tb_rng, test_pool)
+
+    tb = test_batch()
+    for epoch in range(trainer.start_epoch, args.epochs):
+        epoch_rng = np.random.default_rng(seed * 100003 + epoch)
+        trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
+    if trainer.checkpoints:
+        trainer.checkpoints.wait()
+
+
+def main():
+    from speech_decoding_tpu.config import load_config
+
+    argv = sys.argv[1:]
+    config_path = None
+    if argv and argv[0].endswith((".yaml", ".yml")):
+        config_path, argv = argv[0], argv[1:]
+    args = load_config(config_path, argv)
+    if "root_dir" not in args:
+        args.root_dir = os.path.dirname(os.path.abspath(__file__))
+    run(args)
+
+
+if __name__ == "__main__":
+    main()
