@@ -244,6 +244,7 @@ class SubjectBlock(nn.Module):
     d_drop: float
     loc: Any
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, X: Array, subject_idxs: Array, deterministic: bool = True) -> Array:
@@ -258,6 +259,12 @@ class SubjectBlock(nn.Module):
             (self.num_subjects, self.D1, self.D1),
             jnp.float32,
         ).astype(self.compute_dtype)
+        if self.use_pallas:
+            # scalar-prefetch kernel: no (B, D1, D1) gathered weights in HBM
+            from speech_decoding_tpu.ops.pallas.subject_conv import subject_matmul
+
+            interpret = jax.default_backend() != "tpu"
+            return subject_matmul(X, W, subject_idxs, interpret)
         return jnp.einsum(
             "bti,bio->bto", X, W[subject_idxs], preferred_element_type=self.compute_dtype
         )
@@ -321,11 +328,15 @@ class BrainEncoder(nn.Module):
     d_drop: float = 0.1
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, args, loc, num_subjects: int) -> "BrainEncoder":
         F = 1024 if args.preprocs["last4layers"] else args.F  # [ref: models.py:176]
         dtype = jnp.dtype(args.select("tpu.compute_dtype", "float32"))
+        use_pallas = args.select("tpu.use_pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         return cls(
             num_subjects=num_subjects,
             loc=loc,
@@ -336,6 +347,7 @@ class BrainEncoder(nn.Module):
             d_drop=args.d_drop,
             compute_dtype=dtype,
             remat=bool(args.select("tpu.remat", False)),
+            use_pallas=bool(use_pallas),
         )
 
     @nn.compact
@@ -355,6 +367,7 @@ class BrainEncoder(nn.Module):
             self.d_drop,
             self.loc,
             self.compute_dtype,
+            self.use_pallas,
             name="subject_block",
         )(X, subject_idxs, deterministic=not train)
 

@@ -116,9 +116,11 @@ def make_eval_step(
     encoder,
     reduction: str = "mean",
     collate: Optional[Dict] = None,
+    use_pallas_retrieval: bool = False,
 ) -> Callable[[TrainState, Batch], Dict[str, Array]]:
     """Full-batch eval: forward (no dropout, running BN stats), loss, retrieval
-    [ref: train.py:211-233]."""
+    [ref: train.py:211-233]. With use_pallas_retrieval the full-test-set
+    similarity never materializes (ops/pallas/retrieval.py)."""
 
     def eval_step(state: TrainState, batch: Batch):
         X = _maybe_collate(batch["X"], collate)
@@ -129,7 +131,14 @@ def make_eval_step(
             train=False,
         )
         loss = clip_loss(batch["Y"], Z, state.params["clip"]["temp"][0], reduction)
-        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        if use_pallas_retrieval:
+            from speech_decoding_tpu.ops.pallas.retrieval import retrieval_metrics_pallas
+
+            top1, top10 = retrieval_metrics_pallas(
+                Z, batch["Y"], ks=(1, 10), interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
         return {"loss": loss, "top1": top1, "top10": top10}
 
     return jax.jit(eval_step)

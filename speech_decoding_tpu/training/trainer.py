@@ -94,7 +94,12 @@ class Trainer:
             accumulate_steps=accumulate_steps,
         )
         self.train_step = make_train_step(encoder, args.reduction, collate, donate=True)
-        self.eval_step = make_eval_step(encoder, args.reduction, collate)
+        use_pallas = args.select("tpu.use_pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.eval_step = make_eval_step(
+            encoder, args.reduction, collate, use_pallas_retrieval=bool(use_pallas)
+        )
         self.forward_step = (
             make_train_forward_step(encoder, args.reduction, collate)
             if self.legacy_last_batch_only
