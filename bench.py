@@ -17,33 +17,47 @@ Prints exactly ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 REFERENCE_PREPROC_MEG_SEC_PER_SEC = 216 * 396.0 / 1800.0  # ≈ 47.5 (20 CPU cores)
 
 
-def bench_preproc(n_warm: int = 1, n_rec: int = 6) -> float:
-    import jax
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
+
+def bench_preproc(n_rec: int = 6) -> float:
+    """End-to-end host-array -> host-array preprocessing (includes padding,
+    transfers and the fused on-device filter+resample)."""
     from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
 
     rng = np.random.default_rng(0)
     rec_len = 396_000  # ~396 s at 1 kHz
-    recs = [rng.normal(size=(208, rec_len)).astype(np.float32) for _ in range(2)]
+    _log("generating preproc inputs")
+    pool = [
+        rng.random(size=(208, rec_len), dtype=np.float32) - 0.5 for _ in range(4)
+    ]
 
-    # warmup/compile
-    preprocess_batch(recs[:1], 1000.0, 1.0, 60.0, 120.0, microbatch=1)
+    _log("preproc warmup/compile")
+    preprocess_batch(pool[:2], 1000.0, 1.0, 60.0, 120.0, microbatch=2)
 
+    _log("preproc timed run")
     t0 = time.perf_counter()
     done = 0
     while done < n_rec:
-        preprocess_batch(recs, 1000.0, 1.0, 60.0, 120.0, microbatch=2)
-        done += len(recs)
+        preprocess_batch(pool[done % 2 : done % 2 + 2], 1000.0, 1.0, 60.0, 120.0,
+                         microbatch=2)
+        done += 2
     dt = time.perf_counter() - t0
-    meg_seconds = done * rec_len / 1000.0
-    return meg_seconds / dt
+    _log(f"preproc: {done} recordings in {dt:.2f}s")
+    return done * rec_len / 1000.0 / dt
 
 
 def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
@@ -58,6 +72,7 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     enc = BrainEncoder(
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
+        use_pallas=jax.default_backend() == "tpu",
     )
     B, C, T, F = batch_size, 208, 360, 1024
     X = jax.random.normal(jax.random.PRNGKey(0), (B, C, T), jnp.float32) * 10
@@ -68,9 +83,11 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     collate = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True}
     step = make_train_step(enc, collate=collate, donate=True)
 
+    _log("train warmup/compile")
     for i in range(3):  # warmup + compile
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     jax.block_until_ready(metrics["loss"])
+    _log("train timed run")
 
     t0 = time.perf_counter()
     for i in range(n_steps):

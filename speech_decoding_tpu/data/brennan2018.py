@@ -111,7 +111,10 @@ class Brennan2018Dataset:
 
         # robust scale + clamp on device (subject-wise or pooled)
         # [ref: brennan2018.py:98-99,109-134]
-        self.X = np.asarray(self._scale_and_clamp(jnp.asarray(self.X)))
+        self.X = np.ascontiguousarray(
+            np.asarray(self._scale_and_clamp(jnp.asarray(self.X)))
+        )
+        self.Y = np.ascontiguousarray(self.Y)  # sliced views -> native gather
 
         # per-segment baseline correction happens lazily in get_segments()
         # (mathematically identical to the reference's eager loop
@@ -206,14 +209,20 @@ class Brennan2018Dataset:
         self, segment_ids: np.ndarray, subject_ids: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Gather (B, C, seq_len) EEG (baseline-corrected) and (B, F, seq_len)
-        audio embeddings for the given segment/subject pairs."""
+        audio embeddings for the given segment/subject pairs — multithreaded
+        native window copies with fused baseline subtraction."""
+        from speech_decoding_tpu.data.native_loader import gather_segments
+
         L = self.seq_len_samp
-        xs = np.stack(
-            [self.X[s, :, i * L : (i + 1) * L] for i, s in zip(segment_ids, subject_ids)]
+        onsets = [int(i) * L for i in segment_ids]
+        xs = gather_segments(
+            [self.X[int(s)] for s in subject_ids],
+            onsets,
+            seq_len=L,
+            baseline_len=self.baseline_len_samp,
         )
-        ys = np.stack([self.Y[:, i * L : (i + 1) * L] for i in segment_ids])
-        base = xs[..., : self.baseline_len_samp].mean(-1, keepdims=True)
-        return (xs - base).astype(np.float32), ys.astype(np.float32)
+        ys = gather_segments([self.Y] * len(segment_ids), onsets, seq_len=L)
+        return xs, ys
 
     def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
         """Reference __getitem__ semantics: a random subject per access

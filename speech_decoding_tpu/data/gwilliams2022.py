@@ -415,19 +415,21 @@ class Gwilliams2022DatasetBase:
         """Assemble a batch: per segment a RANDOM session key
         [ref: gwilliams2022.py:129-142]; X is the raw onset slice (scaling
         happens in the train step's collate)."""
+        from speech_decoding_tpu.data.native_loader import gather_segments
+
         keys = list(self.X.keys())
         L = self.seq_len_samp
-        xs, sids = [], []
+        sources, onsets, sids = [], [], []
         for i in segment_ids:
             i_in_task, task = self.segment_to_task(int(i))
             key = keys[rng.integers(len(keys))]
-            onset = self.meg_onsets[key][task][i_in_task]
-            xs.append(self.X[key][task][:, onset : onset + L])
+            sources.append(self.X[key][task])
+            onsets.append(int(self.meg_onsets[key][task][i_in_task]))
             sids.append(
                 int(np.where(self.valid_subjects == key.split("_")[0])[0][0])
             )
         return {
-            "X": np.stack(xs),
+            "X": gather_segments(sources, onsets, seq_len=L),
             "Y": self.Y[segment_ids],
             "subject_idxs": np.asarray(sids, np.int32),
         }

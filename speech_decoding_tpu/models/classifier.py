@@ -52,3 +52,27 @@ def retrieval_metrics(
     (both (B, F, T)). Equivalent to the reference's Classifier.forward
     [ref: models.py:209-248] but one matmul instead of a B² Python loop."""
     return retrieval_accuracy_from_similarity(cosine_similarity_matrix(Z, Y), ks)
+
+
+class Classifier:
+    """API-parity shim for the reference's Classifier
+    [ref: models.py:199-248]: ``Classifier(args)(Z, Y)`` -> (top1, top10)
+    floats. ``test=`` is accepted (the reference only uses it for a progress
+    bar). On TPU backends the Pallas streaming-rank kernel is used, so the
+    full-test-set similarity matrix is never materialized."""
+
+    def __init__(self, args=None):
+        self.factor = 1  # kept for parity [ref: models.py:206]
+
+    def __call__(self, Z: Array, Y: Array, test: bool = False):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from speech_decoding_tpu.ops.pallas.retrieval import (
+                retrieval_metrics_pallas,
+            )
+
+            top1, top10 = retrieval_metrics_pallas(Z, Y, ks=(1, 10))
+        else:
+            top1, top10 = retrieval_metrics(Z, Y, ks=(1, 10))
+        return float(top1), float(top10)

@@ -137,6 +137,12 @@ class Trainer:
             # reference quirk: only the LAST batch's grads step the optimizer
             # [ref: train.py:205-209]
             train_batches = list(train_batches)
+        else:
+            # background host thread: batch assembly + device transfer overlap
+            # with device compute (double buffering)
+            from speech_decoding_tpu.data.native_loader import Prefetcher
+
+            train_batches = Prefetcher(iter(train_batches), transform=self._put)
         last_idx = len(train_batches) - 1 if isinstance(train_batches, list) else -1
         for i, batch in enumerate(train_batches):
             self._key, k = jax.random.split(self._key)
