@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech_decoding_tpu.ops.fir import design_bandpass_fir, fir_filter_zero_phase
+from speech_decoding_tpu.ops.fir import (
+    design_bandpass_fir,
+    fir_filter_zero_phase,
+    reflect_limited_pad,
+)
 from speech_decoding_tpu.ops.resample import _spectral_resize, fft_resample
 
 Array = jax.Array
@@ -92,6 +96,14 @@ def _filter_resample_fused(x: Array, taps: Array, n_out_big: int) -> Array:
     return (jnp.fft.ifft(Y).real * (n_out_big / L)).astype(jnp.float32)
 
 
+def _device_reflect_pad(x: Array, pad_l: int, pad_r: int) -> Array:
+    """Asymmetric reflect-limited padding on device (small op graph; avoids
+    shipping the padded copy over the host link)."""
+    m = max(pad_l, pad_r)
+    big = reflect_limited_pad(x, m)
+    return big[..., m - pad_l : big.shape[-1] - (m - pad_r)]
+
+
 def preprocess_batch(
     recordings: Sequence[np.ndarray],
     sfreq: float,
@@ -99,42 +111,59 @@ def preprocess_batch(
     h_freq: float,
     out_rate: float,
     microbatch: int = 4,
+    to_host: bool = True,
 ) -> List[np.ndarray]:
     """Fused band-pass + resample for a list of (C, T_i) recordings.
-    Returns (C, round(T_i * out_rate / sfreq)) float32 arrays."""
+    Returns (C, round(T_i * out_rate / sfreq)) arrays — numpy when
+    ``to_host`` (the .npy cache contract), device-resident jax.Arrays
+    otherwise (the TPU-native train-directly path; avoids the device->host
+    readback entirely).
+
+    Only the raw recordings cross host->device; padding happens on device and
+    the fetched result's last dim is 128-lane aligned (tiled device->host
+    readback of unaligned arrays is several times slower)."""
     if not recordings:
         return []
     ratio = out_rate / sfreq
     lengths = [r.shape[-1] for r in recordings]
     L, plans = _pad_plan(lengths)
     n_out_big = int(round(ratio * L))
+    n_out_fetch = -(-n_out_big // 128) * 128  # lane-aligned readback
     taps_np = design_bandpass_fir(sfreq, l_freq, h_freq)
     half = (len(taps_np) - 1) // 2
     min_pad = min(min(pl, pr) for pl, pr in plans)
     if half > min_pad:
         # circular-convolution wrap would reach the true signal; use the
         # exact per-recording path instead
-        return [
-            np.asarray(
-                preprocess_exact(jnp.asarray(r, jnp.float32), sfreq, l_freq, h_freq,
-                                 down=sfreq / out_rate)
-            )
+        outs = [
+            preprocess_exact(jnp.asarray(r, jnp.float32), sfreq, l_freq, h_freq,
+                             down=sfreq / out_rate)
             for r in recordings
         ]
+        return [np.asarray(o) if to_host else o for o in outs]
     taps = jnp.asarray(taps_np)
 
-    outs: List[np.ndarray] = []
+    outs = []
     for i in range(0, len(recordings), microbatch):
         chunk = recordings[i : i + microbatch]
         chunk_plans = plans[i : i + microbatch]
-        padded = np.stack(
+        padded = jnp.stack(
             [
-                _host_reflect_pad(np.asarray(r, np.float32), pl, pr)
+                _device_reflect_pad(jnp.asarray(r, jnp.float32), pl, pr)
                 for r, (pl, pr) in zip(chunk, chunk_plans)
             ]
         )
-        y = np.asarray(_filter_resample_fused(jnp.asarray(padded), taps, n_out_big))
-        for rec, (pl, _), n in zip(y, chunk_plans, lengths[i : i + microbatch]):
-            start = int(round(ratio * pl))
-            outs.append(rec[..., start : start + int(round(ratio * n))])
+        y = _filter_resample_fused(padded, taps, n_out_big)
+        crops = [
+            (int(round(ratio * pl)), int(round(ratio * n)))
+            for (pl, _), n in zip(chunk_plans, lengths[i : i + microbatch])
+        ]
+        if to_host:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_out_fetch - n_out_big)])
+            host = np.asarray(y)
+            for rec, (start, n_out) in zip(host, crops):
+                outs.append(rec[..., start : start + n_out])
+        else:
+            for rec, (start, n_out) in zip(y, crops):
+                outs.append(jax.lax.dynamic_slice_in_dim(rec, start, n_out, axis=-1))
     return outs
