@@ -226,12 +226,13 @@ class Brennan2018Dataset:
 
     def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
         """Reference __getitem__ semantics: a random subject per access
-        [ref: brennan2018.py:147-152]. Returns a train-step batch dict plus
-        chunk ids (unique by construction when segment_ids are unique)."""
+        [ref: brennan2018.py:147-152]. Chunk ids == segment_ids (unique by
+        construction when segment_ids are unique, satisfying the
+        duplicate-segment guard [ref: train.py:180-183])."""
         subjects = rng.integers(0, self.num_subjects, size=len(segment_ids))
         X, Y = self.get_segments(segment_ids, subjects)
         return {
             "X": X,
             "Y": Y,
             "subject_idxs": subjects.astype(np.int32),
-        }, segment_ids
+        }

@@ -79,6 +79,24 @@ def _host_reflect_pad(x: np.ndarray, pad_l: int, pad_r: int) -> np.ndarray:
     return np.concatenate(parts, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("plans", "n_out_big", "n_out_fetch"))
+def _pad_filter_resample(taps: Array, plans, n_out_big: int, n_out_fetch: int, *xs):
+    """ONE compiled program for a whole microbatch: per-recording on-device
+    reflect padding -> stack -> fused filter+resample -> lane-aligned output.
+    Everything in a single jit so remote/tunneled devices see one dispatch
+    instead of a string of eager ops."""
+    padded = jnp.stack(
+        [
+            _device_reflect_pad(x.astype(jnp.float32), pl, pr)
+            for x, (pl, pr) in zip(xs, plans)
+        ]
+    )
+    y = _filter_resample_fused(padded, taps, n_out_big)
+    if n_out_fetch > n_out_big:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_out_fetch - n_out_big)])
+    return y
+
+
 @partial(jax.jit, static_argnames=("n_out_big",))
 def _filter_resample_fused(x: Array, taps: Array, n_out_big: int) -> Array:
     """Filter + resample a padded (N, C, L) stack with one FFT round-trip:
@@ -146,20 +164,19 @@ def preprocess_batch(
     outs = []
     for i in range(0, len(recordings), microbatch):
         chunk = recordings[i : i + microbatch]
-        chunk_plans = plans[i : i + microbatch]
-        padded = jnp.stack(
-            [
-                _device_reflect_pad(jnp.asarray(r, jnp.float32), pl, pr)
-                for r, (pl, pr) in zip(chunk, chunk_plans)
-            ]
+        chunk_plans = tuple(tuple(p) for p in plans[i : i + microbatch])
+        y = _pad_filter_resample(
+            taps,
+            chunk_plans,
+            n_out_big,
+            n_out_fetch if to_host else n_out_big,
+            *[jnp.asarray(r, jnp.float32) for r in chunk],
         )
-        y = _filter_resample_fused(padded, taps, n_out_big)
         crops = [
             (int(round(ratio * pl)), int(round(ratio * n)))
             for (pl, _), n in zip(chunk_plans, lengths[i : i + microbatch])
         ]
         if to_host:
-            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_out_fetch - n_out_big)])
             host = np.asarray(y)
             for rec, (start, n_out) in zip(host, crops):
                 outs.append(rec[..., start : start + n_out])

