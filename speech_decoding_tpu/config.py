@@ -79,11 +79,20 @@ class Config(dict):
 
 
 def _parse_value(text: str) -> Any:
-    """Parse a CLI override value with YAML semantics (true/1.5/[a,b]/str)."""
+    """Parse a CLI override value with YAML semantics (true/1.5/[a,b]/str).
+    Scientific notation like 3e-4 is coerced to float (YAML 1.1 treats it as a
+    string — the reference works around this with float(args.lr)
+    [ref: train.py:162])."""
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(value, str):
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    return value
 
 
 def parse_overrides(argv: List[str]) -> Dict[str, Any]:
