@@ -86,3 +86,19 @@ def test_train_step_with_sharded_batch(mesh):
 
     assert abs(float(m_dense["loss"]) - float(m_shard["loss"])) < 1e-4
     assert abs(float(m_dense["top10"]) - float(m_shard["top10"])) < 1e-6
+
+
+def test_global_batch_from_host_local(mesh):
+    """Single-process case: the local batch IS the global batch, sharded over
+    the data axis."""
+    from speech_decoding_tpu.parallel.multihost import (
+        global_batch_from_host_local,
+        init_distributed,
+    )
+
+    assert init_distributed() is False  # single process
+    batch = {"X": np.arange(16 * 4, dtype=np.float32).reshape(16, 4)}
+    out = global_batch_from_host_local(batch, mesh)
+    assert out["X"].shape == (16, 4)
+    assert len(out["X"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out["X"]), batch["X"])
