@@ -249,9 +249,15 @@ class Gwilliams2022DatasetBase:
         """Read every available recording (host I/O), then run the fused
         batched device filter+resample. Deterministic key order replaces the
         reference's worker-pool + natsorted temp-file reassembly
-        [ref: gwilliams2022.py:267-325]."""
+        [ref: gwilliams2022.py:267-325]. Each processed recording is cached as
+        a per-recording part file, so an interrupted rebuild resumes at
+        recording granularity (finer than the reference's all-or-nothing
+        x_done flag)."""
+        parts_dir = os.path.join(self.preproc_dir, "_parts")
+        os.makedirs(parts_dir, exist_ok=True)
+
         n_subj, n_sess, n_task = self._dims
-        raw_list, keys = [], []
+        raw_list, todo_keys, keys = [], [], []
         meg_onsets: Dict[str, np.ndarray] = {}
         speech_onsets: Dict[str, np.ndarray] = {}
         sentence_idxs: Dict[str, np.ndarray] = {}
@@ -274,18 +280,30 @@ class Gwilliams2022DatasetBase:
                     speech_onsets[task_str] = s_on
                     sentence_idxs[task_str] = s_idx
                     meg_onsets[key] = m_on
-                    raw_list.append(np.asarray(meg[:NUM_MEG_CHANNELS], np.float32))
                     keys.append(key)
-        assert raw_list, f"no recordings found under {self.root_dir}"
-        cprint(f"Batched device preprocessing of {len(raw_list)} recordings", "cyan")
-        outs = preprocess_batch(
-            raw_list,
-            BRAIN_ORIG_RATE,
-            self.brain_filter_low,
-            self.brain_filter_high,
-            float(self.brain_resample_rate),
-        )
-        X = {k: o.astype(np.float32) for k, o in zip(keys, outs)}
+                    if not os.path.exists(os.path.join(parts_dir, f"{key}.npy")):
+                        raw_list.append(np.asarray(meg[:NUM_MEG_CHANNELS], np.float32))
+                        todo_keys.append(key)
+        assert keys, f"no recordings found under {self.root_dir}"
+        if todo_keys:
+            cprint(
+                f"Batched device preprocessing of {len(todo_keys)} recordings "
+                f"({len(keys) - len(todo_keys)} resumed from parts)",
+                "cyan",
+            )
+            outs = preprocess_batch(
+                raw_list,
+                BRAIN_ORIG_RATE,
+                self.brain_filter_low,
+                self.brain_filter_high,
+                float(self.brain_resample_rate),
+            )
+            for k, o in zip(todo_keys, outs):
+                np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))
+        X = {k: np.load(os.path.join(parts_dir, f"{k}.npy")) for k in keys}
+        import shutil
+
+        shutil.rmtree(parts_dir)  # assembled into x_dict.npy by the caller
         return X, meg_onsets, speech_onsets, sentence_idxs
 
     def audio_preproc(self) -> Dict[str, np.ndarray]:
