@@ -102,3 +102,21 @@ def test_global_batch_from_host_local(mesh):
     assert out["X"].shape == (16, 4)
     assert len(out["X"].sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(out["X"]), batch["X"])
+
+
+def test_time_sharded_bandpass_matches_single_device(mesh, rng):
+    """FIR band-pass with time-axis sharding + halo exchange == the
+    single-device path (the halo reproduces exact neighborhood context and
+    the boundary shards reproduce the global reflect padding)."""
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.ops.fir import bandpass_filter
+    from speech_decoding_tpu.parallel.preproc_sharded import bandpass_filter_sharded
+
+    sfreq = 250.0  # filter half-length 412 < shard length 500
+    x = rng.normal(size=(3, 4000)).astype(np.float32)
+    dense = np.asarray(bandpass_filter(jnp.asarray(x), sfreq, 2.0, 40.0))
+    sharded = np.asarray(
+        bandpass_filter_sharded(jnp.asarray(x), sfreq, 2.0, 40.0, mesh)
+    )
+    np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-5)
