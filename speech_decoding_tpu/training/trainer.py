@@ -145,12 +145,25 @@ class Trainer:
             train_batches = Prefetcher(iter(train_batches), transform=self._put)
         last_idx = len(train_batches) - 1 if isinstance(train_batches, list) else -1
         for i, batch in enumerate(train_batches):
-            self._key, k = jax.random.split(self._key)
             segments += batch["X"].shape[0]
-            if self.legacy_last_batch_only and i != last_idx:
-                self.state, metrics = self.forward_step(self.state, self._put(batch), k)
+            if self.legacy_last_batch_only:
+                # legacy path: per-batch host-split keys (forward steps don't
+                # advance state.step, so in-graph folding would repeat keys)
+                self._key, k = jax.random.split(self._key)
+                if i != last_idx:
+                    self.state, metrics = self.forward_step(
+                        self.state, self._put(batch), k
+                    )
+                else:
+                    self.state, metrics = self.train_step(
+                        self.state, self._put(batch), k
+                    )
             else:
-                self.state, metrics = self.train_step(self.state, self._put(batch), k)
+                # fast path: constant base key; the per-step dropout key is
+                # folded from state.step inside the jit (zero host RNG ops)
+                self.state, metrics = self.train_step(
+                    self.state, self._put(batch), self._key
+                )
             train_metrics.append(metrics)
         # pull once per epoch (metrics are tiny; avoids per-step syncs)
         train_metrics = [
