@@ -64,21 +64,6 @@ def _pad_plan(lengths: Sequence[int]) -> Tuple[int, List[Tuple[int, int]]]:
     return L, plans
 
 
-def _host_reflect_pad(x: np.ndarray, pad_l: int, pad_r: int) -> np.ndarray:
-    """Odd reflection about the edge value ('reflect_limited'), host-side.
-    Falls back to edge-value padding beyond the reflectable span."""
-    T = x.shape[-1]
-    rl, rr = min(pad_l, T - 1), min(pad_r, T - 1)
-    left = 2 * x[..., :1] - x[..., rl:0:-1]
-    right = 2 * x[..., -1:] - x[..., -2 : -rr - 2 : -1]
-    parts = [left, x, right]
-    if rl < pad_l:
-        parts.insert(0, np.repeat(left[..., :1], pad_l - rl, axis=-1))
-    if rr < pad_r:
-        parts.append(np.repeat(right[..., -1:], pad_r - rr, axis=-1))
-    return np.concatenate(parts, axis=-1)
-
-
 @partial(jax.jit, static_argnames=("plans", "n_out_big", "n_out_fetch"))
 def _pad_filter_resample(taps: Array, plans, n_out_big: int, n_out_fetch: int, *xs):
     """ONE compiled program for a whole microbatch: per-recording on-device

@@ -182,7 +182,11 @@ class Trainer:
         }
 
         if test_batch is not None:
-            ev = {k: float(v) for k, v in self.eval_step(self.state, self._put(test_batch)).items()}
+            # transfer the (large, constant) test batch once, not per epoch
+            if getattr(self, "_test_cache_id", None) != id(test_batch):
+                self._test_cache = self._put(test_batch)
+                self._test_cache_id = id(test_batch)
+            ev = {k: float(v) for k, v in self.eval_step(self.state, self._test_cache).items()}
             out.update(
                 test_loss=ev["loss"], testTop1acc=ev["top1"], testTop10acc=ev["top10"]
             )

@@ -77,3 +77,29 @@ def test_collate_inside_step():
     train_step = make_train_step(enc, collate=collate, donate=False)
     state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_legacy_last_batch_only(tmp_path):
+    """The compat mode steps params only from the last batch of an epoch
+    (reference train.py:205-209 quirk)."""
+    from speech_decoding_tpu.config import load_config
+    from speech_decoding_tpu.training.trainer import Trainer
+
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": np.asarray(X), "Y": np.asarray(Y), "subject_idxs": np.asarray(sidx)}
+
+    cfg = load_config()
+    cfg.set_path("tpu.brennan_legacy_accumulation", True)
+    cfg.set_path("tpu.compute_dtype", "float32")
+    cfg.epochs = 1
+    trainer = Trainer(enc, cfg, batch)
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    out = trainer.run_epoch(0, [batch, batch, batch], None)
+    assert np.isfinite(out["train_loss"])
+    # params moved exactly once (from the last batch); step counter == 1
+    assert int(trainer.state.step) == 1
+    same = jax.tree.map(
+        np.array_equal, p0, jax.tree.map(np.asarray, trainer.state.params)
+    )
+    assert not all(jax.tree.leaves(same))
