@@ -140,8 +140,26 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     # value forces every step to have executed
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
-    _log(f"train: {n_steps} steps in {dt:.2f}s (final loss {final_loss:.3f})")
-    return n_steps * batch_size / dt
+    single_rate = n_steps * batch_size / dt
+    _log(f"train single-dispatch: {n_steps} steps in {dt:.2f}s (loss {final_loss:.3f})")
+
+    # scan mode: k steps per dispatch (the Trainer default, tpu.scan_steps)
+    from speech_decoding_tpu.training import make_train_step_scan
+
+    k = 10
+    stacked = {kk: jnp.stack([v] * k) for kk, v in batch.items()}
+    scan_step = make_train_step_scan(enc, collate=collate, donate=True)
+    state, ms = scan_step(state, stacked, base_key)
+    float(ms["loss"][-1])  # compile + force
+    _log("train scan timed run")
+    t0 = time.perf_counter()
+    for _ in range(n_steps // k):
+        state, ms = scan_step(state, stacked, base_key)
+    float(ms["loss"][-1])
+    dt = time.perf_counter() - t0
+    scan_rate = n_steps * batch_size / dt
+    _log(f"train scan(k={k}): {n_steps} steps in {dt:.2f}s")
+    return single_rate, scan_rate
 
 
 def main():
@@ -149,7 +167,7 @@ def main():
 
     platform = jax.devices()[0].platform
     e2e_rate, compute_rate = bench_preproc()
-    train_seg = bench_train()
+    train_single, train_seg = bench_train()
     result = {
         "metric": "gwilliams_preproc_meg_seconds_per_sec",
         "value": round(compute_rate, 2),
@@ -162,6 +180,7 @@ def main():
             "note": "end-to-end rate is bound by this harness's ~25MB/s tunneled host<->device link, not the chip",
             "train_segments_per_sec": round(train_seg, 2),
             "train_steps_per_sec_b64": round(train_seg / 64, 3),
+            "train_segments_per_sec_single_dispatch": round(train_single, 2),
             "platform": platform,
         },
     }

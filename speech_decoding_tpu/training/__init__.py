@@ -1,4 +1,14 @@
 from speech_decoding_tpu.training.state import TrainState, create_train_state
-from speech_decoding_tpu.training.steps import make_eval_step, make_train_step
+from speech_decoding_tpu.training.steps import (
+    make_eval_step,
+    make_train_step,
+    make_train_step_scan,
+)
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_train_step_scan",
+    "make_eval_step",
+]

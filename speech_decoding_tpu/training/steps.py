@@ -38,13 +38,13 @@ def _maybe_collate(X: Array, collate: Optional[Dict]) -> Array:
     )
 
 
-def make_train_step(
+def _build_train_step(
     encoder,
     reduction: str = "mean",
     collate: Optional[Dict] = None,
-    donate: bool = True,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
-    """Build the jitted train step for a given encoder/config."""
+    """The un-jitted single train step (shared by the jitted single-step and
+    the lax.scan multi-step wrappers)."""
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         X = _maybe_collate(batch["X"], collate)
@@ -76,7 +76,41 @@ def make_train_step(
         }
         return state, metrics
 
+    return train_step
+
+
+def make_train_step(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """Build the jitted train step for a given encoder/config."""
+    train_step = _build_train_step(encoder, reduction, collate)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_scan(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """Multi-step train: one dispatch runs ``k`` optimizer steps via lax.scan
+    over a stacked batch (leading axis k on every array). Amortizes dispatch
+    latency (critical on remote/tunneled devices, still a win locally) while
+    keeping semantics identical to k calls of the single step. Returns
+    (state, metrics-with-leading-k-axis)."""
+    single = _build_train_step(encoder, reduction, collate)
+
+    def train_steps(state: TrainState, batches: Batch, base_key: Array):
+        def body(st, batch):
+            st, metrics = single(st, batch, base_key)
+            return st, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(train_steps, donate_argnums=(0,) if donate else ())
 
 
 def make_train_forward_step(

@@ -32,6 +32,7 @@ from speech_decoding_tpu.training.steps import (
     make_eval_step,
     make_train_forward_step,
     make_train_step,
+    make_train_step_scan,
 )
 from speech_decoding_tpu.utils.logging import cprint
 
@@ -94,6 +95,12 @@ class Trainer:
             accumulate_steps=accumulate_steps,
         )
         self.train_step = make_train_step(encoder, args.reduction, collate, donate=True)
+        self.scan_steps = int(args.select("tpu.scan_steps", 1))
+        self.train_step_scan = (
+            make_train_step_scan(encoder, args.reduction, collate, donate=True)
+            if self.scan_steps > 1
+            else None
+        )
         use_pallas = args.select("tpu.use_pallas", None)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -124,6 +131,16 @@ class Trainer:
             return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
+    def _put_stacked(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """Stacked scan groups (k, B, ...): shard the BATCH axis (axis 1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        B = batch["X"].shape[1]
+        if self.mesh is not None and B % self.mesh.shape["data"] == 0:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
     def run_epoch(
         self,
         epoch: int,
@@ -137,38 +154,71 @@ class Trainer:
             # reference quirk: only the LAST batch's grads step the optimizer
             # [ref: train.py:205-209]
             train_batches = list(train_batches)
-        else:
-            # background host thread: batch assembly + device transfer overlap
-            # with device compute (double buffering)
+            last_idx = len(train_batches) - 1
+            for i, batch in enumerate(train_batches):
+                segments += batch["X"].shape[0]
+                # per-batch host-split keys (forward steps don't advance
+                # state.step, so in-graph folding would repeat keys)
+                self._key, k = jax.random.split(self._key)
+                step_fn = self.train_step if i == last_idx else self.forward_step
+                self.state, metrics = step_fn(self.state, self._put(batch), k)
+                train_metrics.append(metrics)
+        elif self.scan_steps > 1:
+            # scan mode: k optimizer steps per dispatch (host thread stacks
+            # and transfers groups while the device runs the previous group)
             from speech_decoding_tpu.data.native_loader import Prefetcher
 
-            train_batches = Prefetcher(iter(train_batches), transform=self._put)
-        last_idx = len(train_batches) - 1 if isinstance(train_batches, list) else -1
-        for i, batch in enumerate(train_batches):
-            segments += batch["X"].shape[0]
-            if self.legacy_last_batch_only:
-                # legacy path: per-batch host-split keys (forward steps don't
-                # advance state.step, so in-graph folding would repeat keys)
-                self._key, k = jax.random.split(self._key)
-                if i != last_idx:
-                    self.state, metrics = self.forward_step(
-                        self.state, self._put(batch), k
+            def grouped(it):
+                group = []
+                for b in it:
+                    group.append(b)
+                    if len(group) == self.scan_steps:
+                        yield {
+                            k: np.stack([g[k] for g in group]) for k in group[0]
+                        }, len(group)
+                        group = []
+                for b in group:  # remainder: single steps
+                    yield b, 0
+
+            pf = Prefetcher(
+                grouped(iter(train_batches)),
+                transform=lambda t: (
+                    (self._put_stacked if t[1] else self._put)(t[0]),
+                    t[1],
+                ),
+            )
+            for batch, k_group in pf:
+                if k_group:
+                    segments += batch["X"].shape[0] * batch["X"].shape[1]
+                    self.state, metrics = self.train_step_scan(
+                        self.state, batch, self._key
                     )
                 else:
+                    segments += batch["X"].shape[0]
                     self.state, metrics = self.train_step(
-                        self.state, self._put(batch), k
+                        self.state, batch, self._key
                     )
-            else:
-                # fast path: constant base key; the per-step dropout key is
-                # folded from state.step inside the jit (zero host RNG ops)
-                self.state, metrics = self.train_step(
-                    self.state, self._put(batch), self._key
-                )
-            train_metrics.append(metrics)
-        # pull once per epoch (metrics are tiny; avoids per-step syncs)
-        train_metrics = [
-            {k: float(v) for k, v in jax.device_get(m).items()} for m in train_metrics
-        ]
+                train_metrics.append(metrics)
+        else:
+            # background host thread: batch assembly + device transfer overlap
+            # with device compute (double buffering); constant base key — the
+            # per-step dropout key folds from state.step inside the jit
+            from speech_decoding_tpu.data.native_loader import Prefetcher
+
+            for batch in Prefetcher(iter(train_batches), transform=self._put):
+                segments += batch["X"].shape[0]
+                self.state, metrics = self.train_step(self.state, batch, self._key)
+                train_metrics.append(metrics)
+        # pull once per epoch (metrics are tiny; avoids per-step syncs);
+        # scan-mode entries carry a leading k axis — flatten them
+        pulled = []
+        for m in jax.device_get(train_metrics):
+            vals = {k: np.atleast_1d(np.asarray(v)) for k, v in m.items()}
+            n = len(vals["loss"])
+            pulled.extend(
+                {k: float(v[i]) for k, v in vals.items()} for i in range(n)
+            )
+        train_metrics = pulled
         train_time = time.perf_counter() - t0
 
         out: Dict[str, float] = {

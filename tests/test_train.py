@@ -103,3 +103,58 @@ def test_trainer_legacy_last_batch_only(tmp_path):
         np.array_equal, p0, jax.tree.map(np.asarray, trainer.state.params)
     )
     assert not all(jax.tree.leaves(same))
+
+
+def test_scan_steps_match_single_steps():
+    """k scanned steps == k sequential single steps (same keys/batches)."""
+    from speech_decoding_tpu.training import make_train_step_scan
+
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    base_key = jax.random.PRNGKey(9)
+    k = 3
+    batches = {
+        "X": jnp.stack([X + i for i in range(k)]),
+        "Y": jnp.stack([Y] * k),
+        "subject_idxs": jnp.stack([sidx] * k),
+    }
+
+    single = make_train_step(enc, donate=False)
+    s1 = state
+    losses = []
+    for i in range(k):
+        b = {kk: v[i] for kk, v in batches.items()}
+        s1, m = single(s1, b, base_key)
+        losses.append(float(m["loss"]))
+
+    scan = make_train_step_scan(enc, donate=False)
+    s2, ms = scan(state, batches, base_key)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["clip"]["temp"]),
+        np.asarray(s1.params["clip"]["temp"]),
+        rtol=1e-6,
+    )
+    # param trees agree up to fp-reassociation drift amplified by Adam's
+    # normalization (losses above already match to ~1e-5)
+    for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0.02)
+
+
+def test_trainer_scan_mode_epoch():
+    """Trainer with tpu.scan_steps=2 over 5 batches: 2 scanned groups + 1
+    single remainder; 5 optimizer steps total, 5 metric entries."""
+    from speech_decoding_tpu.config import load_config
+    from speech_decoding_tpu.training.trainer import Trainer
+
+    enc, state, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": np.asarray(X), "Y": np.asarray(Y), "subject_idxs": np.asarray(sidx)}
+
+    cfg = load_config()
+    cfg.set_path("tpu.scan_steps", 2)
+    cfg.set_path("tpu.compute_dtype", "float32")
+    trainer = Trainer(enc, cfg, batch)
+    out = trainer.run_epoch(0, [dict(batch) for _ in range(5)], None)
+    assert int(trainer.state.step) == 5
+    assert np.isfinite(out["train_loss"])
