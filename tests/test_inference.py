@@ -1,0 +1,52 @@
+"""Serving API: checkpoint restore -> encode -> retrieve round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_decoding_tpu.data.layout import ch_locations_2d
+from speech_decoding_tpu.inference import SpeechDecoder
+from speech_decoding_tpu.models import BrainEncoder
+from speech_decoding_tpu.training import create_train_state
+from speech_decoding_tpu.training.checkpoint import CheckpointManager
+
+B, C, T, F = 4, 208, 30, 16
+
+
+def test_decoder_roundtrip(tmp_path, rng):
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, state)
+    mgr.wait()
+
+    dec = SpeechDecoder.from_checkpoint(str(tmp_path / "ck"), enc, X)
+    Z = dec.encode(X, np.zeros(B, np.int32))
+    assert Z.shape == (B, F, T)
+
+    # random bank: retrieve must match an explicit numpy cosine top-k
+    bank = rng.normal(size=(10, F, T)).astype(np.float32)
+    dec.set_bank(jnp.asarray(bank))
+    scores, ids = dec.decode(X, np.zeros(B, np.int32), k=3)
+    assert scores.shape == (B, 3) and ids.shape == (B, 3)
+    zf = np.asarray(Z).reshape(B, -1)
+    zf = zf / np.linalg.norm(zf, axis=-1, keepdims=True)
+    bf = bank.reshape(10, -1)
+    bf = bf / np.linalg.norm(bf, axis=-1, keepdims=True)
+    sim = zf @ bf.T
+    np.testing.assert_array_equal(ids[:, 0], sim.argmax(-1))
+    np.testing.assert_allclose(scores[:, 0], sim.max(-1), atol=1e-5)
+    # self-bank: the top score is an exact self-match (cosine 1)
+    dec.set_bank(Z)
+    s2, _ = dec.decode(X, np.zeros(B, np.int32), k=1)
+    np.testing.assert_allclose(s2[:, 0], 1.0, atol=1e-5)
+
+    # restored params equal the saved ones
+    p_saved = jax.tree.leaves(state.params["encoder"])
+    p_restored = jax.tree.leaves(dec._variables["params"])
+    for a, b in zip(p_saved, p_restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
