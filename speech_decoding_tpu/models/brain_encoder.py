@@ -103,6 +103,7 @@ class TorchBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # statistics accumulate in f32 regardless of compute dtype
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1))
             var = jnp.mean(jnp.square(xf), axis=(0, 1)) - jnp.square(mean)
@@ -112,8 +113,11 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.compute_dtype)
+        # normalize in the compute dtype (halves HBM traffic under bf16;
+        # exact f32 when compute_dtype is f32 — the parity-test path)
+        dt = self.compute_dtype
+        y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt) + bias.astype(dt)
+        return y
 
 
 class Conv1d(nn.Module):
