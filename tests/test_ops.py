@@ -242,3 +242,50 @@ class TestScaling:
             xb = RobustScaler().fit_transform(xb.T).T
             ref[b] = np.clip(xb, -20, 20)
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestPreprocessBatch:
+    def test_fused_matches_exact(self, rng):
+        from speech_decoding_tpu.ops.brain_preproc import (
+            preprocess_batch,
+            preprocess_exact,
+        )
+
+        recs = [
+            rng.normal(size=(4, 20000)).astype(np.float32),
+            rng.normal(size=(4, 18500)).astype(np.float32),
+        ]
+        outs = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0)
+        for r, o in zip(recs, outs):
+            ex = np.asarray(
+                preprocess_exact(jnp.asarray(r), 500.0, 1.0, 60.0, down=500 / 120)
+            )
+            assert o.shape == ex.shape
+            d = np.abs(o - ex)[:, 100:-100]
+            assert d.max() < 1e-3, d.max()
+
+    def test_short_recordings_fall_back_to_exact(self, rng):
+        """When the shared pow2 padding is shorter than the filter half-length
+        the circular wrap would corrupt the signal; the exact per-recording
+        path is used instead."""
+        from speech_decoding_tpu.ops.brain_preproc import (
+            preprocess_batch,
+            preprocess_exact,
+        )
+
+        recs = [rng.normal(size=(3, 900)).astype(np.float32)]
+        outs = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0)
+        ex = np.asarray(
+            preprocess_exact(jnp.asarray(recs[0]), 500.0, 1.0, 60.0, down=500 / 120)
+        )
+        np.testing.assert_allclose(outs[0], ex, rtol=1e-5, atol=1e-6)
+
+    def test_device_resident_mode(self, rng):
+        from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
+        import jax
+
+        recs = [rng.normal(size=(2, 20000)).astype(np.float32)]
+        outs = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0, to_host=False)
+        assert isinstance(outs[0], jax.Array)
+        host = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0, to_host=True)
+        np.testing.assert_allclose(np.asarray(outs[0]), host[0], rtol=1e-5)
