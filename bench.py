@@ -98,6 +98,7 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
+        conv_impl="gemm",
     )
     B, C, T, F = batch_size, 208, 360, 1024
     X = jax.random.normal(jax.random.PRNGKey(0), (B, C, T), jnp.float32) * 10

@@ -123,9 +123,13 @@ class TorchBatchNorm(nn.Module):
 class Conv1d(nn.Module):
     """1-D conv in (B, T, C) layout with torch-default init and 'SAME' padding.
 
-    kernel_size=1 lowers to a pure MXU matmul; kernel_size=3 with dilation d
-    maps to XLA conv_general_dilated (rhs_dilation), which the TPU backend
-    tiles onto the MXU.
+    kernel_size=1 lowers to a pure MXU matmul. For kernel_size>1 two
+    equivalent implementations are available:
+      * impl='xla': lax.conv_general_dilated (rhs_dilation);
+      * impl='gemm': k shifted full-width matmuls — y[t] = Σ_j x[t+(j-c)·d] Wj
+        with zero padding at the edges. Identical math ('SAME', odd k), but
+        expressed as dense (B·T, Cin)x(Cin, Cout) GEMMs the MXU tiles
+        perfectly; often faster than the generic conv lowering for tiny k.
     """
 
     features: int
@@ -133,6 +137,7 @@ class Conv1d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     compute_dtype: Any = jnp.float32
+    impl: str = "xla"  # or "gemm"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -144,20 +149,38 @@ class Conv1d(nn.Module):
             (self.kernel_size, in_features, self.features),
             jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            window_strides=(1,),
-            padding="SAME",
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=self.compute_dtype,
-        )
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        k = self.kernel_size
+        if self.impl == "gemm" and k > 1:
+            assert k % 2 == 1, "gemm impl assumes odd kernels ('SAME' centering)"
+            d = self.dilation
+            pad = (k // 2) * d
+            T = x.shape[-2]
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            y = None
+            for j in range(k):
+                xj = jax.lax.dynamic_slice_in_dim(xp, j * d, T, axis=-2)
+                yj = jnp.einsum(
+                    "btc,cf->btf", xj, kernel[j].astype(dt),
+                    preferred_element_type=dt,
+                )
+                y = yj if y is None else y + yj
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(dt),
+                window_strides=(1,),
+                padding="SAME",
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=dt,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", torch_conv_uniform(fan_in), (self.features,), jnp.float32
             )
-            y = y + bias.astype(self.compute_dtype)
+            y = y + bias.astype(dt)
         return y
 
 
@@ -285,14 +308,16 @@ class ConvBlock(nn.Module):
     k: int
     D2: int
     compute_dtype: Any = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, X: Array, use_running_average: bool = True) -> Array:
         d0 = 2 ** ((2 * self.k) % 5)
         d1 = 2 ** ((2 * self.k + 1) % 5)
         dt = self.compute_dtype
+        impl = self.conv_impl
 
-        Y = Conv1d(self.D2, 3, d0, compute_dtype=dt, name="conv0")(X)
+        Y = Conv1d(self.D2, 3, d0, compute_dtype=dt, impl=impl, name="conv0")(X)
         if self.k > 0:
             Y = Y + X  # skip [ref: models.py:156]
         Y = nn.gelu(
@@ -301,14 +326,14 @@ class ConvBlock(nn.Module):
             ),
             approximate=False,
         )
-        Y = Conv1d(self.D2, 3, d1, compute_dtype=dt, name="conv1")(Y) + Y
+        Y = Conv1d(self.D2, 3, d1, compute_dtype=dt, impl=impl, name="conv1")(Y) + Y
         Y = nn.gelu(
             TorchBatchNorm(self.D2, compute_dtype=dt, name="batchnorm1")(
                 Y, use_running_average
             ),
             approximate=False,
         )
-        Y = Conv1d(2 * self.D2, 3, 2, compute_dtype=dt, name="conv2")(Y)
+        Y = Conv1d(2 * self.D2, 3, 2, compute_dtype=dt, impl=impl, name="conv2")(Y)
         a, b = jnp.split(Y, 2, axis=-1)  # GLU over channels [ref: models.py:164]
         return a * jax.nn.sigmoid(b)
 
@@ -333,6 +358,7 @@ class BrainEncoder(nn.Module):
     compute_dtype: Any = jnp.float32
     remat: bool = False
     use_pallas: bool = False
+    conv_impl: str = "xla"
 
     @classmethod
     def from_config(cls, args, loc, num_subjects: int) -> "BrainEncoder":
@@ -352,6 +378,7 @@ class BrainEncoder(nn.Module):
             compute_dtype=dtype,
             remat=bool(args.select("tpu.remat", False)),
             use_pallas=bool(use_pallas),
+            conv_impl=str(args.select("tpu.conv_impl", "xla")),
         )
 
     @nn.compact
@@ -379,9 +406,9 @@ class BrainEncoder(nn.Module):
         if self.remat:
             block_cls = nn.remat(ConvBlock, static_argnums=(2,))
         for k in range(5):
-            X = block_cls(k, self.D2, self.compute_dtype, name=f"conv{k}")(
-                X, not train
-            )
+            X = block_cls(
+                k, self.D2, self.compute_dtype, self.conv_impl, name=f"conv{k}"
+            )(X, not train)
 
         X = nn.gelu(
             Conv1d(2 * self.D2, 1, compute_dtype=self.compute_dtype, name="conv_final1")(X),

@@ -192,3 +192,21 @@ class TestRetrievalParity:
         Z = rng.normal(size=(12, 6, 5)).astype(np.float32)
         t1, t10 = retrieval_metrics(jnp.asarray(Z), jnp.asarray(Z), ks=(1, 10))
         assert float(t1) == 1.0 and float(t10) == 1.0
+
+
+def test_conv_impl_gemm_matches_xla(loc_module=None):
+    """The 3-shifted-GEMM conv formulation == XLA's conv lowering."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    X = np.random.default_rng(3).normal(size=(3, 208, 48)).astype(np.float32)
+    sidx = np.zeros(3, np.int32)
+    outs = {}
+    for impl in ("xla", "gemm"):
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, conv_impl=impl
+        )
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+        outs[impl] = np.asarray(enc.apply(v, X, sidx, train=False))
+    np.testing.assert_allclose(outs["xla"], outs["gemm"], rtol=1e-5, atol=1e-6)
