@@ -233,6 +233,12 @@ class Gwilliams2022DatasetBase:
 
         self.X, self.Y, self.meg_onsets, self.num_segments_foreach_task = self.batchfy()
         assert len(self.X) == len(self.meg_onsets)
+        # per-(session, task, word) robust-scaling stats, computed once so the
+        # train-step collate is pure elementwise (the reference re-fits a
+        # RobustScaler per batch on CPU [ref: gwilliams2022.py:653-661]; the
+        # baseline subtraction cancels inside the median, see
+        # ops.scaling.gwilliams_collate)
+        self.scale_stats = self._compute_scale_stats()
         self.valid_subjects = np.array(
             sorted(set(k.split("_")[0] for k in self.X.keys()))
         )
@@ -418,6 +424,28 @@ class Gwilliams2022DatasetBase:
     def batchfy(self):  # overridden by split subclasses
         raise NotImplementedError
 
+    def _compute_scale_stats(self, chunk: int = 1024) -> Dict[str, Dict[str, np.ndarray]]:
+        """One batched device pass per (session, task): median/IQR of every
+        word window -> {key: {task: (n_words, C, 2) float32}}."""
+        from speech_decoding_tpu.data.native_loader import gather_segments
+        from speech_decoding_tpu.ops.scaling import window_scale_stats
+
+        stats: Dict[str, Dict[str, np.ndarray]] = {}
+        L = self.seq_len_samp
+        for key, tasks in self.X.items():
+            stats[key] = {}
+            for task, X in tasks.items():
+                onsets = self.meg_onsets[key][task]
+                outs = []
+                for i in range(0, len(onsets), chunk):
+                    ons = onsets[i : i + chunk]
+                    windows = gather_segments([X] * len(ons), ons, L)
+                    outs.append(np.asarray(window_scale_stats(windows)))
+                stats[key][task] = (
+                    np.concatenate(outs) if outs else np.zeros((0, X.shape[0], 2), np.float32)
+                )
+        return stats
+
     # -- segment access ------------------------------------------------------
 
     def __len__(self) -> int:
@@ -437,12 +465,13 @@ class Gwilliams2022DatasetBase:
 
         keys = list(self.X.keys())
         L = self.seq_len_samp
-        sources, onsets, sids = [], [], []
+        sources, onsets, sids, stats = [], [], [], []
         for i in segment_ids:
             i_in_task, task = self.segment_to_task(int(i))
             key = keys[rng.integers(len(keys))]
             sources.append(self.X[key][task])
             onsets.append(int(self.meg_onsets[key][task][i_in_task]))
+            stats.append(self.scale_stats[key][task][i_in_task])
             sids.append(
                 int(np.where(self.valid_subjects == key.split("_")[0])[0][0])
             )
@@ -450,6 +479,7 @@ class Gwilliams2022DatasetBase:
             "X": gather_segments(sources, onsets, seq_len=L),
             "Y": self.Y[segment_ids],
             "subject_idxs": np.asarray(sids, np.int32),
+            "scale_stats": np.stack(stats),
         }
 
 

@@ -56,9 +56,44 @@ def gwilliams_collate(
 ) -> Array:
     """The Gwilliams2022Collator as one fused device op: baseline-correct the
     first 0.5 s, then robust-scale and clamp each (segment, channel) window
-    [ref: gwilliams2022.py:653-661]. X: (B, C, T)."""
+    [ref: gwilliams2022.py:653-661]. X: (B, C, T).
+
+    Note the composition collapses: median(x - b) = median(x) - b and the IQR
+    is shift-invariant, so baseline-correct-then-robust-scale ==
+    robust-scale alone. The baseline step is kept for clarity/parity; the
+    precomputed-stats path (window_scale_stats/apply_scale_stats) exploits the
+    identity to move the quantile sort out of the train step entirely."""
     X = baseline_correct(X, baseline_len_samp)
     X = robust_scale(X, axis=-1)
     if do_clamp:
         X = clamp(X, clamp_lim)
     return X
+
+
+@jax.jit
+def window_scale_stats(windows: Array) -> Array:
+    """Per-(window, channel) robust-scaling statistics over the time axis:
+    returns (..., C, 2) with [median, IQR] (zero IQRs replaced by 1). Computed
+    ONCE per segment at dataset-build time — the train-step collate then needs
+    no sort."""
+    q25, q50, q75 = jnp.percentile(
+        windows.astype(jnp.float32), jnp.array([25.0, 50.0, 75.0]), axis=-1
+    )
+    iqr = q75 - q25
+    iqr = jnp.where(jnp.abs(iqr) < 1e-12, 1.0, iqr)
+    return jnp.stack([q50, iqr], axis=-1)
+
+
+def apply_scale_stats(
+    X: Array, stats: Array, clamp_lim: float, do_clamp: bool = True
+) -> Array:
+    """Elementwise collate using precomputed stats: clip((X - med) / IQR).
+    Exactly equals gwilliams_collate on the same windows (the baseline
+    subtraction cancels inside the median; see gwilliams_collate). X:
+    (B, C, T); stats: (B, C, 2)."""
+    med = stats[..., 0:1]
+    iqr = stats[..., 1:2]
+    Y = (X.astype(jnp.float32) - med) / iqr
+    if do_clamp:
+        Y = clamp(Y, clamp_lim)
+    return Y

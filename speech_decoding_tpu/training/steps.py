@@ -20,16 +20,23 @@ import jax.numpy as jnp
 
 from speech_decoding_tpu.models.classifier import retrieval_metrics
 from speech_decoding_tpu.models.loss import clip_loss
-from speech_decoding_tpu.ops.scaling import gwilliams_collate
+from speech_decoding_tpu.ops.scaling import apply_scale_stats, gwilliams_collate
 from speech_decoding_tpu.training.state import TrainState
 
 Array = jax.Array
 Batch = Dict[str, Array]  # X (B, C, T), Y (B, F, T), subject_idxs (B,)
 
 
-def _maybe_collate(X: Array, collate: Optional[Dict]) -> Array:
+def _maybe_collate(batch: Batch, collate: Optional[Dict]) -> Array:
+    X = batch["X"]
     if collate is None:
         return X
+    if collate.get("precomputed") and "scale_stats" in batch:
+        # per-segment median/IQR were computed at dataset build; the collate
+        # is pure elementwise (no per-step quantile sort)
+        return apply_scale_stats(
+            X, batch["scale_stats"], collate["clamp_lim"], collate["clamp"]
+        )
     return gwilliams_collate(
         X,
         baseline_len_samp=collate["baseline_len_samp"],
@@ -47,7 +54,7 @@ def _build_train_step(
     the lax.scan multi-step wrappers)."""
 
     def loss_fn(params, batch_stats, batch, dropout_key):
-        X = _maybe_collate(batch["X"], collate)
+        X = _maybe_collate(batch, collate)
         Z, mutated = encoder.apply(
             {"params": params["encoder"], "batch_stats": batch_stats},
             X,
@@ -126,7 +133,7 @@ def make_train_forward_step(
 
     def forward_step(state: TrainState, batch: Batch, base_key: Array):
         dropout_key = jax.random.fold_in(base_key, state.step)
-        X = _maybe_collate(batch["X"], collate)
+        X = _maybe_collate(batch, collate)
         Z, mutated = encoder.apply(
             {"params": state.params["encoder"], "batch_stats": state.batch_stats},
             X,
@@ -160,7 +167,7 @@ def make_eval_step(
     similarity never materializes (ops/pallas/retrieval.py)."""
 
     def eval_step(state: TrainState, batch: Batch):
-        X = _maybe_collate(batch["X"], collate)
+        X = _maybe_collate(batch, collate)
         Z = encoder.apply(
             {"params": state.params["encoder"], "batch_stats": state.batch_stats},
             X,

@@ -289,3 +289,19 @@ class TestPreprocessBatch:
         assert isinstance(outs[0], jax.Array)
         host = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0, to_host=True)
         np.testing.assert_allclose(np.asarray(outs[0]), host[0], rtol=1e-5)
+
+
+class TestPrecomputedScaleStats:
+    def test_baseline_cancellation_identity(self, rng):
+        """clip((x-b) - med(x-b)) / iqr(x-b)) == clip((x - med(x)) / iqr(x)):
+        the precomputed-stats collate equals the reference composition."""
+        from speech_decoding_tpu.ops.scaling import (
+            apply_scale_stats,
+            window_scale_stats,
+        )
+
+        X = (rng.normal(size=(5, 8, 360)) * 30 + 4).astype(np.float32)
+        ref = np.asarray(gwilliams_collate(jnp.asarray(X), 60, 20.0, True))
+        stats = window_scale_stats(jnp.asarray(X))
+        fast = np.asarray(apply_scale_stats(jnp.asarray(X), stats, 20.0, True))
+        np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)

@@ -88,6 +88,9 @@ def run(args) -> None:
             ),
             "clamp_lim": float(args.preprocs["clamp_lim"]),
             "clamp": bool(args.preprocs["clamp"]),
+            # per-segment median/IQR precomputed at build; in-step collate is
+            # elementwise (see ops.scaling.apply_scale_stats)
+            "precomputed": True,
         }
         accumulate_steps = 1
 
