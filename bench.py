@@ -104,9 +104,19 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     X = jax.random.normal(jax.random.PRNGKey(0), (B, C, T), jnp.float32) * 10
     Y = jax.random.normal(jax.random.PRNGKey(1), (B, F, T), jnp.float32)
     sidx = jnp.asarray(np.random.default_rng(0).integers(0, 27, B), jnp.int32)
-    batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+    from speech_decoding_tpu.ops.scaling import window_scale_stats
+
+    batch = {
+        "X": X,
+        "Y": Y,
+        "subject_idxs": sidx,
+        "scale_stats": window_scale_stats(X),  # precomputed at build in the pipeline
+    }
     state = create_train_state(enc, jax.random.PRNGKey(2), X, sidx)
-    collate = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True}
+    collate = {
+        "baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
+        "precomputed": True,
+    }
     step = make_train_step(enc, collate=collate, donate=True)
 
     base_key = jax.random.PRNGKey(7)  # per-step keys fold from state.step in-graph
