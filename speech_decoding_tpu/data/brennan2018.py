@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 from glob import glob
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import os
 import queue
 import subprocess
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ get_dataloaders.py:4-86]:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

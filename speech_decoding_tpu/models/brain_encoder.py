@@ -29,8 +29,7 @@ float32.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ columns index brain embeddings; we build that orientation directly.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ speech_decoding_tpu.parallel.clip_sharded for the explicit shard_map variant).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ is inference-only (the reference freezes wav2vec2 — model.eval(), no_grad).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax

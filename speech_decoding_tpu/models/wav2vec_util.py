@@ -11,7 +11,6 @@ reference's known chunk-boundary artifact, reproduced for parity
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

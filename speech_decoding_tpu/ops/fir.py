@@ -26,7 +26,6 @@ frequency-response contract is tested instead.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional
 

@@ -17,7 +17,6 @@ All math in float32.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -14,7 +14,6 @@ fp reassociation).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

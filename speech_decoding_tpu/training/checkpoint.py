@@ -9,10 +9,8 @@ every epoch — no optimizer state, no temperature, no resume path
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from speech_decoding_tpu.training.state import TrainState

@@ -10,7 +10,7 @@ unlike the reference which silently backprops only the last batch.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

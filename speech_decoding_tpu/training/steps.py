@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from speech_decoding_tpu.models.classifier import retrieval_metrics
 from speech_decoding_tpu.models.loss import clip_loss

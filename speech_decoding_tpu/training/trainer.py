@@ -23,11 +23,9 @@ from typing import Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
-from speech_decoding_tpu.models.classifier import retrieval_metrics
-from speech_decoding_tpu.models.loss import clip_loss
 from speech_decoding_tpu.parallel.mesh import batch_sharding, make_mesh
 from speech_decoding_tpu.training.checkpoint import CheckpointManager
-from speech_decoding_tpu.training.state import TrainState, create_train_state
+from speech_decoding_tpu.training.state import create_train_state
 from speech_decoding_tpu.training.steps import (
     make_eval_step,
     make_train_forward_step,
