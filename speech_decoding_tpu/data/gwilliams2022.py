@@ -194,6 +194,13 @@ class Gwilliams2022DatasetBase:
         self.last4layers = args.preprocs["last4layers"]
         self.shift_brain = args.preprocs["shift_brain"]
         self.shift_len = args.preprocs["shift_len"]
+        # memory_efficient (the reference declares this config key but never
+        # uses it [ref: configs/config.yaml:48]; its multiprocessing pipeline
+        # had a known "huge memory consumption" issue [ref: README.md:15]):
+        # keep preprocessed recordings as memory-mapped per-recording .npy
+        # parts instead of one in-RAM dict, and fold the brain shift into the
+        # onset indices so no sliced copies are ever materialized.
+        self.memory_efficient = bool(args.get("memory_efficient", True))
         self._wav2vec = wav2vec
         self._source = source or default_source(self.root_dir)
         self._dims = (num_subjects, num_sessions, num_tasks)
@@ -204,12 +211,14 @@ class Gwilliams2022DatasetBase:
         )
 
         x_path = os.path.join(self.preproc_dir, "x_dict.npy")
+        self._parts_dir = os.path.join(self.preproc_dir, "_parts")
         onsets_path = os.path.join(self.preproc_dir, "meg_onsets.npy")
         speech_path = os.path.join(self.preproc_dir, "speech_onsets.npy")
         sent_path = os.path.join(self.preproc_dir, "sentence_idxs.npy")
         if rebuild or not flags["x_done"]:
             X, meg_onsets, speech_onsets, sentence_idxs = self.brain_preproc_all()
-            np.save(x_path, X, allow_pickle=True)
+            if not self.memory_efficient:
+                np.save(x_path, X, allow_pickle=True)
             np.save(onsets_path, meg_onsets, allow_pickle=True)
             np.save(speech_path, speech_onsets, allow_pickle=True)
             np.save(sent_path, sentence_idxs, allow_pickle=True)
@@ -217,7 +226,7 @@ class Gwilliams2022DatasetBase:
             self.X, self.meg_onsets = X, meg_onsets
             self.speech_onsets, self.sentence_idxs = speech_onsets, sentence_idxs
         else:
-            self.X = np.load(x_path, allow_pickle=True).item()
+            self.X = self._load_x(x_path)
             self.meg_onsets = np.load(onsets_path, allow_pickle=True).item()
             self.speech_onsets = np.load(speech_path, allow_pickle=True).item()
             self.sentence_idxs = np.load(sent_path, allow_pickle=True).item()
@@ -306,11 +315,37 @@ class Gwilliams2022DatasetBase:
             )
             for k, o in zip(todo_keys, outs):
                 np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))
-        X = {k: np.load(os.path.join(parts_dir, f"{k}.npy")) for k in keys}
-        import shutil
+        if self.memory_efficient:
+            # parts stay on disk, memory-mapped (the OS page cache serves the
+            # native gather); no monolithic in-RAM dict is ever built
+            X = {
+                k: np.load(os.path.join(parts_dir, f"{k}.npy"), mmap_mode="r")
+                for k in keys
+            }
+        else:
+            X = {k: np.load(os.path.join(parts_dir, f"{k}.npy")) for k in keys}
+            import shutil
 
-        shutil.rmtree(parts_dir)  # assembled into x_dict.npy by the caller
+            shutil.rmtree(parts_dir)  # assembled into x_dict.npy by the caller
         return X, meg_onsets, speech_onsets, sentence_idxs
+
+    def _load_x(self, x_path: str) -> Dict[str, np.ndarray]:
+        """Load the preprocessed X cache: memory-mapped parts when
+        memory_efficient (falling back to the dict file), else the dict."""
+        if os.path.isdir(self._parts_dir) and (
+            self.memory_efficient or not os.path.exists(x_path)
+        ):
+            mode = "r" if self.memory_efficient else None
+            keys = [
+                os.path.splitext(f)[0]
+                for f in natsorted(os.listdir(self._parts_dir))
+                if f.endswith(".npy")
+            ]
+            return {
+                k: np.load(os.path.join(self._parts_dir, f"{k}.npy"), mmap_mode=mode)
+                for k in keys
+            }
+        return np.load(x_path, allow_pickle=True).item()
 
     def audio_preproc(self) -> Dict[str, np.ndarray]:
         """Per task: stimulus wavs -> 16 kHz -> wav2vec embeddings -> 120 Hz
@@ -405,19 +440,27 @@ class Gwilliams2022DatasetBase:
         assert len(self.X) % self._dims[2] == 0
         X_dict: Dict[str, Dict[str, np.ndarray]] = {}
         onsets_dict: Dict[str, Dict[str, np.ndarray]] = {}
+        shift = int(self.brain_resample_rate * (self.shift_len / 1000))
         for key in natsorted(self.X.keys()):
             X = self.X[key]
             task_str = key.split("_")[-1]
             key_no_task = "_".join(key.split("_")[:-1])
-            if self.shift_brain:
-                X = self._shift(X, is_Y=False)
             onsets = (
                 (self.meg_onsets[key] * self.brain_resample_rate).round().astype(int)
             )
+            if self.shift_brain:
+                if self.memory_efficient:
+                    # fold the shift into the onsets: X[shift:][o:o+L] ==
+                    # X[o+shift : o+shift+L]; keeps X memory-mapped/unsliced
+                    onsets = onsets + shift
+                else:
+                    X = self._shift(X, is_Y=False)
             idxs = onset_filter(task_str) if onset_filter else None
             if idxs is not None:
                 onsets = onsets[idxs]
-            X_dict.setdefault(key_no_task, {})[task_str] = X.astype(np.float32)
+            if not (X.dtype == np.float32 and isinstance(X, np.memmap)):
+                X = np.ascontiguousarray(X, np.float32)
+            X_dict.setdefault(key_no_task, {})[task_str] = X
             onsets_dict.setdefault(key_no_task, {})[task_str] = onsets
         return X_dict, onsets_dict
 

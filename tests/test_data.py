@@ -208,3 +208,34 @@ class TestSampling:
         batches = list(iter_shuffled_batches(np.arange(20), 8, rng))
         got = np.concatenate(batches)
         assert sorted(got.tolist()) == sorted(set(got.tolist()))
+
+
+class TestMemoryEfficientMode:
+    def test_mmap_and_inram_batches_identical(self, tmp_path, w2v):
+        """memory_efficient=True (mmap parts, shift folded into onsets) and
+        =False (in-RAM dict, sliced X) must produce identical batches."""
+        root = str(tmp_path)
+        fixtures.make_gwilliams_tree(root)
+        base = fixtures.make_config(root, "Gwilliams2022")
+        base.rebuild_dataset = True
+
+        cfg_mm = base.copy()
+        cfg_mm.memory_efficient = True
+        ds_mm = Gwilliams2022ShallowSplit(
+            cfg_mm, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        cfg_ram = base.copy()
+        cfg_ram.memory_efficient = False
+        cfg_ram.rebuild_dataset = False  # reuse the parts/caches
+        ds_ram = Gwilliams2022ShallowSplit(
+            cfg_ram, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        assert len(ds_mm) == len(ds_ram)
+        # mmap mode keeps X memory-mapped
+        any_x = next(iter(ds_mm.X.values()))["task0"]
+        assert isinstance(any_x, np.memmap)
+
+        b1 = ds_mm.sample_batch(np.random.default_rng(7), np.arange(6))
+        b2 = ds_ram.sample_batch(np.random.default_rng(7), np.arange(6))
+        for k in ("X", "Y", "subject_idxs", "scale_stats"):
+            np.testing.assert_allclose(b1[k], b2[k], rtol=1e-6, atol=1e-6, err_msg=k)
