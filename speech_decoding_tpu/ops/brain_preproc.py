@@ -52,15 +52,23 @@ def preprocess_exact(
     return fft_resample(y, up=1.0, down=down)
 
 
-def _pad_plan(lengths: Sequence[int]) -> Tuple[int, List[Tuple[int, int]]]:
+def _pad_plan(
+    lengths: Sequence[int], align: int = 1
+) -> Tuple[int, List[Tuple[int, int]]]:
     """Shared power-of-two padded length for a bucket of recordings, plus the
-    (pad_left, pad_right) split per recording (MNE npad='auto' style)."""
+    (pad_left, pad_right) split per recording (MNE npad='auto' style).
+
+    ``align``: round pad_left down to a multiple of this so that
+    ratio * pad_left is an integer when align = the reduced denominator of the
+    resampling ratio — the crop then starts exactly on an output sample and
+    the result is signal-aligned regardless of the shared padded length."""
     need = max(n + min(n // 8, 100) for n in lengths)
     L = 1 << max(need - 1, 1).bit_length()
     plans = []
     for n in lengths:
         pad = L - n
-        plans.append((pad // 2, pad - pad // 2))
+        pl = (pad // 2 // align) * align
+        plans.append((pl, pad - pl))
     return L, plans
 
 
@@ -129,7 +137,35 @@ def preprocess_batch(
         return []
     ratio = out_rate / sfreq
     lengths = [r.shape[-1] for r in recordings]
-    L, plans = _pad_plan(lengths)
+
+    # Quantize lengths up to a multiple of Q by host-side reflect extension so
+    # the jitted program is keyed on a handful of shapes instead of one per
+    # distinct recording length (each unique shape is a full XLA compile).
+    # The extension lives entirely inside the pad region (>= filter half-length
+    # guaranteed below) and is cropped away after resampling.
+    Q = 4096
+    originals = list(recordings)
+    quantized = []
+    for r in recordings:
+        n = r.shape[-1]
+        n_q = -(-n // Q) * Q
+        if n_q != n:
+            ext = n_q - n
+            re = min(ext, n - 1)
+            tail = 2 * r[..., -1:] - r[..., -2 : -re - 2 : -1]
+            parts = [np.asarray(r, np.float32), tail.astype(np.float32)]
+            if re < ext:  # very short recording: extend with the edge value
+                parts.append(np.repeat(tail[..., -1:], ext - re, axis=-1))
+            r = np.concatenate(parts, axis=-1)
+        quantized.append(r)
+    recordings = quantized
+    # crop alignment: make ratio * pad_left integral when the rate ratio is
+    # (near-)rational so outputs are signal-aligned for any shared pad length
+    from fractions import Fraction
+
+    fr = Fraction(str(out_rate)) / Fraction(str(sfreq))
+    align = fr.denominator if fr.denominator <= 1000 else 1
+    L, plans = _pad_plan([r.shape[-1] for r in recordings], align=align)
     n_out_big = int(round(ratio * L))
     n_out_fetch = -(-n_out_big // 128) * 128  # lane-aligned readback
     taps_np = design_bandpass_fir(sfreq, l_freq, h_freq)
@@ -137,11 +173,11 @@ def preprocess_batch(
     min_pad = min(min(pl, pr) for pl, pr in plans)
     if half > min_pad:
         # circular-convolution wrap would reach the true signal; use the
-        # exact per-recording path instead
+        # exact per-recording path on the ORIGINAL (un-quantized) recordings
         outs = [
             preprocess_exact(jnp.asarray(r, jnp.float32), sfreq, l_freq, h_freq,
                              down=sfreq / out_rate)
-            for r in recordings
+            for r in originals
         ]
         return [np.asarray(o) if to_host else o for o in outs]
     taps = jnp.asarray(taps_np)
@@ -157,8 +193,11 @@ def preprocess_batch(
             n_out_fetch if to_host else n_out_big,
             *[jnp.asarray(r, jnp.float32) for r in chunk],
         )
+        # crop at the signal start's true position on the OUTPUT grid (the
+        # actual resample ratio is n_out_big/L, which differs from
+        # out_rate/sfreq by ~1e-4 — the inherent MNE padded-length quirk)
         crops = [
-            (int(round(ratio * pl)), int(round(ratio * n)))
+            (int(round(pl * n_out_big / L)), int(round(ratio * n)))
             for (pl, _), n in zip(chunk_plans, lengths[i : i + microbatch])
         ]
         if to_host:
