@@ -52,7 +52,9 @@ def bench_preproc() -> float:
     # ~25MB/s host<->device link is not representative of real TPU hosts and
     # occasionally stalls, so the bench deliberately avoids bulk transfers.)
     _log("preproc input generation (on device) + compile")
-    L, plans = _pad_plan([rec_len, rec_len])
+    # align=25: L = 25 * 2^k so the 1000->120 Hz output length is exact and
+    # FFT-smooth (mirrors preprocess_batch's plan)
+    L, plans = _pad_plan([rec_len, rec_len], align=25)
     n_out_big = int(round(0.12 * L))
     taps = jnp.asarray(design_bandpass_fir(1000.0, 1.0, 60.0))
     plans_t = tuple(tuple(p) for p in plans)

@@ -58,12 +58,18 @@ def _pad_plan(
     """Shared power-of-two padded length for a bucket of recordings, plus the
     (pad_left, pad_right) split per recording (MNE npad='auto' style).
 
-    ``align``: round pad_left down to a multiple of this so that
-    ratio * pad_left is an integer when align = the reduced denominator of the
-    resampling ratio — the crop then starts exactly on an output sample and
-    the result is signal-aligned regardless of the shared padded length."""
+    ``align``: the reduced denominator of the resampling ratio. The padded
+    length is the smallest align * 2^k >= need, so that (a) the output length
+    ratio*L is an exact integer — no MNE-style rate quantization — and a
+    smooth-radix FFT size (odd prime output lengths trigger Bluestein-slow
+    FFTs), and (b) pad_left is a multiple of align, so ratio * pad_left is an
+    integer and the crop starts exactly on an output sample."""
     need = max(n + min(n // 8, 100) for n in lengths)
-    L = 1 << max(need - 1, 1).bit_length()
+    if align > 1:
+        m = -(-need // align)
+        L = align << max(m - 1, 1).bit_length()
+    else:
+        L = 1 << max(need - 1, 1).bit_length()
     plans = []
     for n in lengths:
         pad = L - n
@@ -92,19 +98,34 @@ def _pad_filter_resample(taps: Array, plans, n_out_big: int, n_out_fetch: int, *
 
 @partial(jax.jit, static_argnames=("n_out_big",))
 def _filter_resample_fused(x: Array, taps: Array, n_out_big: int) -> Array:
-    """Filter + resample a padded (N, C, L) stack with one FFT round-trip:
-    rfft(x) * rfft(taps) -> spectral resize -> irfft at the output length."""
+    """Filter + resample a padded (N, C, L) stack with one REAL FFT
+    round-trip: rfft(x) * rfft(taps) -> half-spectrum resize -> irfft at the
+    output length (scipy.signal.resample's real-input convention, matching
+    the full-complex path exactly for real signals at half the FFT cost)."""
     L = x.shape[-1]
-    X = jnp.fft.fft(x.astype(jnp.complex64))
+    X = jnp.fft.rfft(x.astype(jnp.float32))
     # zero-phase filter: taps are symmetric around (N-1)/2; rotate so the
     # group delay cancels in the frequency domain
     N = taps.shape[-1]
     h = jnp.zeros((L,), jnp.float32)
     h = jax.lax.dynamic_update_slice(h, taps.astype(jnp.float32), (0,))
     h = jnp.roll(h, -(N - 1) // 2)  # center the symmetric taps at t=0
-    H = jnp.fft.fft(h.astype(jnp.complex64))
-    Y = _spectral_resize(X * H, L, n_out_big)
-    return (jnp.fft.ifft(Y).real * (n_out_big / L)).astype(jnp.float32)
+    H = jnp.fft.rfft(h)
+    XH = X * H
+
+    # half-spectrum resize (scipy resample real path)
+    Nm = min(n_out_big, L)
+    nyq = Nm // 2 + 1
+    shape = XH.shape[:-1] + (n_out_big // 2 + 1,)
+    Y = jnp.zeros(shape, XH.dtype)
+    Y = Y.at[..., :nyq].set(XH[..., :nyq])
+    if Nm % 2 == 0:
+        if n_out_big < L:  # downsampling: fold the conjugate bin
+            Y = Y.at[..., Nm // 2].multiply(2.0)
+        elif n_out_big > L:  # upsampling: split the source Nyquist bin
+            Y = Y.at[..., Nm // 2].multiply(0.5)
+    y = jnp.fft.irfft(Y, n=n_out_big) * (n_out_big / L)
+    return y.astype(jnp.float32)
 
 
 def _device_reflect_pad(x: Array, pad_l: int, pad_r: int) -> Array:
