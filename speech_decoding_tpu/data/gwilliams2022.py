@@ -419,18 +419,31 @@ class Gwilliams2022DatasetBase:
 
     def _make_Y(self, word_filter) -> Tuple[np.ndarray, List[int]]:
         """Segment Y per task at word onsets, optionally filtered by
-        word_filter(task_str) -> indices (None = keep all)."""
+        word_filter(task_str) -> indices (None = keep all). Also records the
+        (task id, onset sample) of every kept segment — the device-resident
+        data path gathers Y windows from unsegmented task arrays with these."""
         Y_list = []
+        seg_tasks, seg_onsets = [], []
         for task_str in sorted(self.Y.keys(), key=lambda s: int(s[-1])):
             Y = self.Y[task_str]
             if self.shift_brain:
                 Y = self._shift(Y, is_Y=True)
             segs = self.segment_speech(Y, task_str)
+            onsets = (
+                (self.speech_onsets[task_str] * self.brain_resample_rate)
+                .round()
+                .astype(int)
+            )
             idxs = word_filter(task_str) if word_filter else None
             if idxs is not None:
                 segs = segs[idxs]
+                onsets = onsets[idxs]
             Y_list.append(segs.astype(np.float32))
+            seg_tasks.append(np.full(len(onsets), int(task_str[-1]), np.int32))
+            seg_onsets.append(np.asarray(onsets, np.int32))
         counts = [len(y) for y in Y_list]
+        self.segment_task_ids = np.concatenate(seg_tasks)
+        self.segment_y_onsets = np.concatenate(seg_onsets)
         return np.concatenate(Y_list), counts
 
     def _make_X(self, onset_filter):

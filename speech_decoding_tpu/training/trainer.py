@@ -21,6 +21,7 @@ import time
 from typing import Dict, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from speech_decoding_tpu.parallel.mesh import batch_sharding, make_mesh
@@ -171,8 +172,15 @@ class Trainer:
                 for b in it:
                     group.append(b)
                     if len(group) == self.scan_steps:
+                        # device-resident batches stack on device (jnp);
+                        # host batches stack on host (np)
+                        stack = (
+                            np.stack
+                            if isinstance(group[0]["X"], np.ndarray)
+                            else jnp.stack
+                        )
                         yield {
-                            k: np.stack([g[k] for g in group]) for k in group[0]
+                            k: stack([g[k] for g in group]) for k in group[0]
                         }, len(group)
                         group = []
                 for b in group:  # remainder: single steps

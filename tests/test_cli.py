@@ -76,3 +76,27 @@ def test_gwilliams_cli_and_resume(tmp_path, w2v):
     cfg2 = cfg.copy()
     cfg2.epochs = 3
     train_cli.run(cfg2)
+
+
+def test_gwilliams_device_resident(tmp_path, w2v):
+    """Full CLI run with the device-resident data path (indices-only steps)."""
+    root = str(tmp_path)
+    fixtures.make_gwilliams_tree(root)
+    cfg = _common_overrides(fixtures.make_config(root, "Gwilliams2022"))
+    cfg.split_mode = "shallow"
+    cfg.set_path("gwilliams.num_subjects", 2)
+    cfg.set_path("gwilliams.num_sessions", 2)
+    cfg.set_path("gwilliams.num_tasks", 2)
+    cfg.set_path("tpu.device_resident_data", True)
+    cfg.set_path("tpu.scan_steps", 2)
+    cfg.updates = 4
+
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+
+    build_cfg = cfg.copy()
+    build_cfg.rebuild_dataset = True
+    Gwilliams2022ShallowSplit(
+        build_cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+    )
+    train_cli.run(cfg)
+    assert os.listdir(os.path.join(root, "checkpoints"))

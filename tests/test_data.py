@@ -239,3 +239,24 @@ class TestMemoryEfficientMode:
         b2 = ds_ram.sample_batch(np.random.default_rng(7), np.arange(6))
         for k in ("X", "Y", "subject_idxs", "scale_stats"):
             np.testing.assert_allclose(b1[k], b2[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+class TestDeviceResident:
+    def test_device_gather_matches_host_sample_batch(self, gwilliams_root, w2v):
+        """The device-resident path must produce batches identical to the
+        host path for the same RNG state."""
+        from speech_decoding_tpu.data.device_resident import DeviceResidentGwilliams
+
+        cfg = fixtures.make_config(gwilliams_root, "Gwilliams2022")
+        ds = Gwilliams2022ShallowSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        batcher = DeviceResidentGwilliams(ds)
+
+        seg = np.arange(8)
+        host = ds.sample_batch(np.random.default_rng(11), seg)
+        idx = batcher.make_index_batch(np.random.default_rng(11), seg)
+        dev = {k: np.asarray(v) for k, v in batcher.gather(idx).items()}
+
+        for k in ("X", "Y", "subject_idxs", "scale_stats"):
+            np.testing.assert_allclose(dev[k], host[k], rtol=1e-6, atol=1e-6, err_msg=k)

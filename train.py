@@ -94,6 +94,24 @@ def run(args) -> None:
         }
         accumulate_steps = 1
 
+        # device-resident data path: recordings/embeddings/stats live on the
+        # chip; each step ships only int32 indices (see data/device_resident)
+        batchers = {}
+        if args.select("tpu.device_resident_data", False):
+            from speech_decoding_tpu.data.device_resident import (
+                DeviceResidentGwilliams,
+            )
+
+            batchers[id(train_set)] = DeviceResidentGwilliams(train_set)
+            if test_set is not train_set:
+                batchers[id(test_set)] = DeviceResidentGwilliams(test_set)
+
+        def _make_batch(ds, epoch_rng, ids):
+            b = batchers.get(id(ds))
+            if b is not None:
+                return b.gather(b.make_index_batch(epoch_rng, ids))
+            return ds.sample_batch(epoch_rng, ids)
+
         def train_batches(epoch_rng):
             if args.use_sampler:
                 ids_iter = iter_updates_batches(
@@ -102,7 +120,7 @@ def run(args) -> None:
             else:
                 ids_iter = iter_shuffled_batches(train_pool, args.batch_size, epoch_rng)
             for ids in ids_iter:
-                yield train_set.sample_batch(epoch_rng, ids)
+                yield _make_batch(train_set, epoch_rng, ids)
 
     elif args.dataset == "Brennan2018":
         from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
@@ -149,6 +167,8 @@ def run(args) -> None:
 
     def test_batch():
         tb_rng = np.random.default_rng(seed + 1)
+        if args.dataset == "Gwilliams2022":
+            return _make_batch(test_set, tb_rng, test_pool)
         return test_set.sample_batch(tb_rng, test_pool)
 
     tb = test_batch()
