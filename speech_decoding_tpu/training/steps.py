@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from speech_decoding_tpu.models.classifier import retrieval_metrics
 from speech_decoding_tpu.models.loss import clip_loss
@@ -153,6 +154,68 @@ def make_train_forward_step(
         return state, metrics
 
     return jax.jit(forward_step)
+
+
+def make_chunked_eval(
+    encoder,
+    reduction: str = "mean",
+    collate: Optional[Dict] = None,
+    chunk_size: int = 256,
+    use_pallas_retrieval: bool = False,
+):
+    """Full-test-set eval with bounded memory: the encoder forward runs in
+    fixed-size chunks (activations for a few hundred segments instead of the
+    whole test set [ref: train.py:225 notes 0.96GB for one full-batch
+    forward]), embeddings accumulate in the compute dtype, then ONE jitted
+    loss+retrieval pass over the flattened embeddings. Exactly equals
+    make_eval_step up to the embedding-storage dtype."""
+
+    def fwd_chunk(state: TrainState, batch: Batch):
+        X = _maybe_collate(batch, collate)
+        return encoder.apply(
+            {"params": state.params["encoder"], "batch_stats": state.batch_stats},
+            X,
+            batch["subject_idxs"],
+            train=False,
+        )
+
+    fwd = jax.jit(fwd_chunk)
+
+    def score(Z, Y, temp):
+        loss = clip_loss(Y, Z, temp, reduction)
+        if use_pallas_retrieval:
+            from speech_decoding_tpu.ops.pallas.retrieval import (
+                retrieval_metrics_pallas,
+            )
+
+            top1, top10 = retrieval_metrics_pallas(
+                Z, Y, ks=(1, 10), interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            top1, top10 = retrieval_metrics(Z, Y, ks=(1, 10))
+        return {"loss": loss, "top1": top1, "top10": top10}
+
+    score = jax.jit(score)
+
+    def evaluate(state: TrainState, batch: Batch):
+        B = batch["X"].shape[0]
+        chunks = []
+        for start in range(0, B, chunk_size):
+            end = min(start + chunk_size, B)
+            idx = slice(start, end)
+            sub = {k: v[idx] for k, v in batch.items()}
+            if end - start < chunk_size:  # pad the tail chunk to a fixed shape
+                pad = chunk_size - (end - start)
+                sub = {
+                    k: jnp.concatenate([jnp.asarray(v)] + [jnp.asarray(v[-1:])] * pad)
+                    for k, v in sub.items()
+                }
+            Z = fwd(state, sub)[: end - start]
+            chunks.append(Z)
+        Z = jnp.concatenate(chunks)
+        return score(Z, jnp.asarray(batch["Y"]), state.params["clip"]["temp"][0])
+
+    return evaluate
 
 
 def make_eval_step(

@@ -106,6 +106,12 @@ class Trainer:
         self.eval_step = make_eval_step(
             encoder, args.reduction, collate, use_pallas_retrieval=bool(use_pallas)
         )
+        # large test sets evaluate in fixed-size forward chunks (bounded
+        # activation memory); 0 disables
+        self.eval_chunk_size = int(args.select("tpu.eval_chunk_size", 1024))
+        self._chunked_eval = None
+        self._collate = collate
+        self._use_pallas_eval = bool(use_pallas)
         self.forward_step = (
             make_train_forward_step(encoder, args.reduction, collate)
             if self.legacy_last_batch_only
@@ -242,7 +248,22 @@ class Trainer:
             if getattr(self, "_test_cache_id", None) != id(test_batch):
                 self._test_cache = self._put(test_batch)
                 self._test_cache_id = id(test_batch)
-            ev = {k: float(v) for k, v in self.eval_step(self.state, self._test_cache).items()}
+            B_test = test_batch["X"].shape[0]
+            if 0 < self.eval_chunk_size < B_test:
+                if self._chunked_eval is None:
+                    from speech_decoding_tpu.training.steps import make_chunked_eval
+
+                    self._chunked_eval = make_chunked_eval(
+                        self.encoder,
+                        self.args.reduction,
+                        self._collate,
+                        chunk_size=self.eval_chunk_size,
+                        use_pallas_retrieval=self._use_pallas_eval,
+                    )
+                eval_fn = self._chunked_eval
+            else:
+                eval_fn = self.eval_step
+            ev = {k: float(v) for k, v in eval_fn(self.state, self._test_cache).items()}
             out.update(
                 test_loss=ev["loss"], testTop1acc=ev["top1"], testTop10acc=ev["top10"]
             )

@@ -158,3 +158,20 @@ def test_trainer_scan_mode_epoch():
     out = trainer.run_epoch(0, [dict(batch) for _ in range(5)], None)
     assert int(trainer.state.step) == 5
     assert np.isfinite(out["train_loss"])
+
+
+def test_chunked_eval_matches_full_eval():
+    """Chunked full-test eval == one-shot eval (incl. a padded tail chunk)."""
+    from speech_decoding_tpu.training.steps import make_chunked_eval
+
+    enc, state, X, sidx = _setup()
+    B2 = 11  # not a multiple of the chunk size -> exercises tail padding
+    X2 = jax.random.normal(jax.random.PRNGKey(5), (B2, C, T))
+    Y2 = jax.random.normal(jax.random.PRNGKey(6), (B2, F, T))
+    batch = {"X": X2, "Y": Y2, "subject_idxs": jnp.zeros((B2,), jnp.int32)}
+
+    full = make_eval_step(enc)(state, batch)
+    chunked = make_chunked_eval(enc, chunk_size=4)(state, batch)
+    assert abs(float(full["loss"]) - float(chunked["loss"])) < 1e-4
+    assert float(full["top1"]) == float(chunked["top1"])
+    assert float(full["top10"]) == float(chunked["top10"])
