@@ -210,3 +210,41 @@ def test_conv_impl_gemm_matches_xla(loc_module=None):
         )
         outs[impl] = np.asarray(enc.apply(v, X, sidx, train=False))
     np.testing.assert_allclose(outs["xla"], outs["gemm"], rtol=1e-5, atol=1e-6)
+
+
+def test_remat_identical_outputs():
+    """tpu.remat (jax.checkpoint over the conv stack) must not change values."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    X = np.random.default_rng(4).normal(size=(3, 208, 48)).astype(np.float32)
+    sidx = np.zeros(3, np.int32)
+    outs = {}
+    for remat in (False, True):
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, remat=remat
+        )
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+        outs[remat] = np.asarray(enc.apply(v, X, sidx, train=False))
+    np.testing.assert_allclose(outs[False], outs[True], rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_compute_close_to_f32():
+    """bfloat16 compute tracks the f32 forward within bf16 noise."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    X = np.random.default_rng(5).normal(size=(3, 208, 48)).astype(np.float32)
+    sidx = np.zeros(3, np.int32)
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, compute_dtype=dt
+        )
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+        outs[dt] = np.asarray(enc.apply(v, X, sidx, train=False), np.float32)
+    denom = np.abs(outs[jnp.float32]).mean() + 1e-6
+    rel = np.abs(outs[jnp.float32] - outs[jnp.bfloat16]).mean() / denom
+    assert rel < 0.15, rel  # bf16 mantissa noise through 13 conv layers
