@@ -40,8 +40,12 @@ class DeviceResidentGwilliams:
     """Wraps a built Gwilliams2022 dataset; provides make_index_batch (host,
     cheap) + gather (jitted device batch assembly)."""
 
-    def __init__(self, dataset, store_dtype=jnp.float32):
+    def __init__(self, dataset, store_dtype=jnp.float32, channels_last: bool = False):
+        """channels_last: store stacks time-major and emit (B, T, C)/(B, T, F)
+        batches for a channels_last_io encoder — eliminates every layout
+        transpose in the train step (~10-15% of step time)."""
         self.ds = dataset
+        self.channels_last = channels_last
         L = dataset.seq_len_samp
         self.seq_len = L
 
@@ -56,9 +60,14 @@ class DeviceResidentGwilliams:
                 recs.append(np.asarray(X, np.float32))
         T_max = max(r.shape[-1] for r in recs) + L  # slack so onset+L is in range
         C = recs[0].shape[0]
-        X_stack = np.zeros((len(recs), C, T_max), np.float32)
-        for i, r in enumerate(recs):
-            X_stack[i, :, : r.shape[-1]] = r
+        if channels_last:
+            X_stack = np.zeros((len(recs), T_max, C), np.float32)
+            for i, r in enumerate(recs):
+                X_stack[i, : r.shape[-1]] = r.T
+        else:
+            X_stack = np.zeros((len(recs), C, T_max), np.float32)
+            for i, r in enumerate(recs):
+                X_stack[i, :, : r.shape[-1]] = r
         self.X_stack = jnp.asarray(X_stack, store_dtype)
         self.rec_index = rec_index
 
@@ -69,9 +78,14 @@ class DeviceResidentGwilliams:
         tasks = sorted(y_dict.keys(), key=lambda s: int(s[-1]))
         F = next(iter(y_dict.values())).shape[0]
         Ty_max = max(y.shape[-1] for y in y_dict.values()) + L
-        Y_stack = np.zeros((len(tasks), F, Ty_max), np.float32)
-        for i, t in enumerate(tasks):
-            Y_stack[i, :, : y_dict[t].shape[-1]] = y_dict[t]
+        if channels_last:
+            Y_stack = np.zeros((len(tasks), Ty_max, F), np.float32)
+            for i, t in enumerate(tasks):
+                Y_stack[i, : y_dict[t].shape[-1]] = y_dict[t].T
+        else:
+            Y_stack = np.zeros((len(tasks), F, Ty_max), np.float32)
+            for i, t in enumerate(tasks):
+                Y_stack[i, :, : y_dict[t].shape[-1]] = y_dict[t]
         self.Y_stack = jnp.asarray(Y_stack, store_dtype)
 
         # ---- per-word scale stats packed (R, W_max, C, 2) ----
@@ -99,7 +113,7 @@ class DeviceResidentGwilliams:
         self.seg_task_ids = np.asarray(dataset.segment_task_ids)
         self.seg_y_onsets = np.asarray(dataset.segment_y_onsets)
 
-        self._gather = jax.jit(partial(_gather_batch, L))
+        self._gather = jax.jit(partial(_gather_batch, L, channels_last))
 
     def make_index_batch(
         self, rng: np.random.Generator, segment_ids: np.ndarray
@@ -132,15 +146,24 @@ class DeviceResidentGwilliams:
         )
 
 
-def _gather_batch(L, X_stack, Y_stack, stats_stack, onsets_stack, subject_of_rec, idx):
+def _gather_batch(L, channels_last, X_stack, Y_stack, stats_stack, onsets_stack,
+                  subject_of_rec, idx):
     def one(rec, word, task, y_on):
         onset = onsets_stack[rec, word]
-        x = jax.lax.dynamic_slice(
-            X_stack[rec], (0, onset), (X_stack.shape[1], L)
-        )
-        y = jax.lax.dynamic_slice(
-            Y_stack[task], (0, y_on), (Y_stack.shape[1], L)
-        )
+        if channels_last:
+            x = jax.lax.dynamic_slice(
+                X_stack[rec], (onset, 0), (L, X_stack.shape[2])
+            )
+            y = jax.lax.dynamic_slice(
+                Y_stack[task], (y_on, 0), (L, Y_stack.shape[2])
+            )
+        else:
+            x = jax.lax.dynamic_slice(
+                X_stack[rec], (0, onset), (X_stack.shape[1], L)
+            )
+            y = jax.lax.dynamic_slice(
+                Y_stack[task], (0, y_on), (Y_stack.shape[1], L)
+            )
         return x, y, stats_stack[rec, word], subject_of_rec[rec]
 
     X, Y, stats, sidx = jax.vmap(one)(

@@ -358,6 +358,11 @@ class BrainEncoder(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     conv_impl: str = "xla"
+    # channels_last_io: accept (B, T, C) and return (B, T, F) — the internal
+    # layout — skipping the boundary transposes entirely (profiling shows the
+    # (B,C,T)<->(B,T,C) swaps cost ~10-15% of a train step). Parameters and
+    # math are identical; CLIP/retrieval flattens are permutation-invariant.
+    channels_last_io: bool = False
 
     @classmethod
     def from_config(cls, args, loc, num_subjects: int) -> "BrainEncoder":
@@ -378,6 +383,7 @@ class BrainEncoder(nn.Module):
             remat=bool(args.select("tpu.remat", False)),
             use_pallas=bool(use_pallas),
             conv_impl=str(args.select("tpu.conv_impl", "xla")),
+            channels_last_io=bool(args.select("tpu.channels_last_io", False)),
         )
 
     @nn.compact
@@ -388,7 +394,9 @@ class BrainEncoder(nn.Module):
         train: bool = False,
     ) -> Array:
         # reference layout in: (B, C, T) -> internal (B, T, C)
-        X = jnp.swapaxes(X, -1, -2).astype(self.compute_dtype)
+        if not self.channels_last_io:
+            X = jnp.swapaxes(X, -1, -2)
+        X = X.astype(self.compute_dtype)
 
         X = SubjectBlock(
             self.num_subjects,
@@ -417,4 +425,6 @@ class BrainEncoder(nn.Module):
             Conv1d(self.F, 1, compute_dtype=self.compute_dtype, name="conv_final2")(X),
             approximate=False,
         )
+        if self.channels_last_io:
+            return X  # (B, T, F)
         return jnp.swapaxes(X, -1, -2)  # back to (B, F, T)

@@ -85,14 +85,19 @@ def window_scale_stats(windows: Array) -> Array:
 
 
 def apply_scale_stats(
-    X: Array, stats: Array, clamp_lim: float, do_clamp: bool = True
+    X: Array, stats: Array, clamp_lim: float, do_clamp: bool = True,
+    channels_last: bool = False,
 ) -> Array:
     """Elementwise collate using precomputed stats: clip((X - med) / IQR).
     Exactly equals gwilliams_collate on the same windows (the baseline
-    subtraction cancels inside the median; see gwilliams_collate). X:
-    (B, C, T); stats: (B, C, 2)."""
-    med = stats[..., 0:1]
-    iqr = stats[..., 1:2]
+    subtraction cancels inside the median; see gwilliams_collate).
+    X: (B, C, T) — or (B, T, C) with channels_last; stats: (B, C, 2)."""
+    if channels_last:
+        med = stats[..., 0][:, None, :]
+        iqr = stats[..., 1][:, None, :]
+    else:
+        med = stats[..., 0:1]
+        iqr = stats[..., 1:2]
     Y = (X.astype(jnp.float32) - med) / iqr
     if do_clamp:
         Y = clamp(Y, clamp_lim)

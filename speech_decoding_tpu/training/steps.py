@@ -35,7 +35,11 @@ def _maybe_collate(batch: Batch, collate: Optional[Dict]) -> Array:
         # per-segment median/IQR were computed at dataset build; the collate
         # is pure elementwise (no per-step quantile sort)
         return apply_scale_stats(
-            X, batch["scale_stats"], collate["clamp_lim"], collate["clamp"]
+            X,
+            batch["scale_stats"],
+            collate["clamp_lim"],
+            collate["clamp"],
+            channels_last=bool(collate.get("channels_last", False)),
         )
     return gwilliams_collate(
         X,

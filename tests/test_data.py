@@ -260,3 +260,21 @@ class TestDeviceResident:
 
         for k in ("X", "Y", "subject_idxs", "scale_stats"):
             np.testing.assert_allclose(dev[k], host[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+    def test_channels_last_gather(self, gwilliams_root, w2v):
+        from speech_decoding_tpu.data.device_resident import DeviceResidentGwilliams
+
+        cfg = fixtures.make_config(gwilliams_root, "Gwilliams2022")
+        ds = Gwilliams2022ShallowSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        b_cf = DeviceResidentGwilliams(ds, channels_last=False)
+        b_cl = DeviceResidentGwilliams(ds, channels_last=True)
+        seg = np.arange(6)
+        d1 = {k: np.asarray(v) for k, v in b_cf.gather(
+            b_cf.make_index_batch(np.random.default_rng(3), seg)).items()}
+        d2 = {k: np.asarray(v) for k, v in b_cl.gather(
+            b_cl.make_index_batch(np.random.default_rng(3), seg)).items()}
+        np.testing.assert_allclose(d2["X"].transpose(0, 2, 1), d1["X"], rtol=1e-6)
+        np.testing.assert_allclose(d2["Y"].transpose(0, 2, 1), d1["Y"], rtol=1e-6)
+        np.testing.assert_array_equal(d2["subject_idxs"], d1["subject_idxs"])

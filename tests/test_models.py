@@ -248,3 +248,24 @@ def test_bf16_compute_close_to_f32():
     denom = np.abs(outs[jnp.float32]).mean() + 1e-6
     rel = np.abs(outs[jnp.float32] - outs[jnp.bfloat16]).mean() / denom
     assert rel < 0.15, rel  # bf16 mantissa noise through 13 conv layers
+
+
+def test_channels_last_io_equivalence():
+    """channels_last_io=True on transposed inputs == default on (B, C, T)."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    X = np.random.default_rng(6).normal(size=(3, 208, 48)).astype(np.float32)
+    sidx = np.zeros(3, np.int32)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4)
+    v = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        X, sidx, train=False,
+    )
+    Z = np.asarray(enc.apply(v, X, sidx, train=False))  # (B, F, T)
+
+    enc_cl = BrainEncoder(
+        num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, channels_last_io=True
+    )
+    Z_cl = np.asarray(
+        enc_cl.apply(v, X.transpose(0, 2, 1), sidx, train=False)
+    )  # (B, T, F)
+    np.testing.assert_allclose(Z_cl.transpose(0, 2, 1), Z, rtol=1e-5, atol=1e-6)

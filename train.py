@@ -81,6 +81,13 @@ def run(args) -> None:
     if args.dataset == "Gwilliams2022":
         train_set, test_set, train_pool, test_pool = build_gwilliams(args, rng)
         num_subjects = train_set.num_subjects
+        # device-resident data defaults to channels-last IO: batches gather
+        # time-major and the encoder skips every layout transpose (resolve
+        # BEFORE the collate dict and encoder read the flag)
+        if args.select("tpu.device_resident_data", False) and (
+            args.select("tpu.channels_last_io", None) is None
+        ):
+            args.set_path("tpu.channels_last_io", True)
         # batch-time baseline/scale/clamp (the reference collator)
         collate = {
             "baseline_len_samp": int(
@@ -91,6 +98,7 @@ def run(args) -> None:
             # per-segment median/IQR precomputed at build; in-step collate is
             # elementwise (see ops.scaling.apply_scale_stats)
             "precomputed": True,
+            "channels_last": bool(args.select("tpu.channels_last_io", False)),
         }
         accumulate_steps = 1
 
@@ -102,9 +110,14 @@ def run(args) -> None:
                 DeviceResidentGwilliams,
             )
 
-            batchers[id(train_set)] = DeviceResidentGwilliams(train_set)
+            cl = bool(args.select("tpu.channels_last_io", False))
+            batchers[id(train_set)] = DeviceResidentGwilliams(
+                train_set, channels_last=cl
+            )
             if test_set is not train_set:
-                batchers[id(test_set)] = DeviceResidentGwilliams(test_set)
+                batchers[id(test_set)] = DeviceResidentGwilliams(
+                    test_set, channels_last=cl
+                )
 
         def _make_batch(ds, epoch_rng, ids):
             b = batchers.get(id(ds))
