@@ -96,15 +96,18 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     from speech_decoding_tpu.training import create_train_state, make_train_step
 
     loc = ch_locations_2d("Gwilliams2022", cache=False)
+    # the production hot-path configuration: bf16 compute, GEMM convs,
+    # channels-last IO (device-resident batches), precomputed scale stats
     enc = BrainEncoder(
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
         conv_impl="gemm",
+        channels_last_io=True,
     )
     B, C, T, F = batch_size, 208, 360, 1024
-    X = jax.random.normal(jax.random.PRNGKey(0), (B, C, T), jnp.float32) * 10
-    Y = jax.random.normal(jax.random.PRNGKey(1), (B, F, T), jnp.float32)
+    X = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32) * 10
+    Y = jax.random.normal(jax.random.PRNGKey(1), (B, T, F), jnp.float32)
     sidx = jnp.asarray(np.random.default_rng(0).integers(0, 27, B), jnp.int32)
     from speech_decoding_tpu.ops.scaling import window_scale_stats
 
@@ -112,12 +115,13 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
         "X": X,
         "Y": Y,
         "subject_idxs": sidx,
-        "scale_stats": window_scale_stats(X),  # precomputed at build in the pipeline
+        # precomputed at dataset build in the pipeline
+        "scale_stats": window_scale_stats(jnp.swapaxes(X, 1, 2)),
     }
     state = create_train_state(enc, jax.random.PRNGKey(2), X, sidx)
     collate = {
         "baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
-        "precomputed": True,
+        "precomputed": True, "channels_last": True,
     }
     step = make_train_step(enc, collate=collate, donate=True)
 
