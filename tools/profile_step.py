@@ -34,13 +34,18 @@ def main():
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16, conv_impl="gemm",
         use_pallas=jax.default_backend() == "tpu",
+        channels_last_io=True,
     )
-    X = jax.random.normal(jax.random.PRNGKey(0), (B, 208, 360))
-    Y = jax.random.normal(jax.random.PRNGKey(1), (B, 1024, 360))
+    X = jax.random.normal(jax.random.PRNGKey(0), (B, 360, 208))
+    Y = jax.random.normal(jax.random.PRNGKey(1), (B, 360, 1024))
     sidx = jnp.zeros((B,), jnp.int32)
-    batch = {"X": X, "Y": Y, "subject_idxs": sidx, "scale_stats": window_scale_stats(X)}
+    batch = {
+        "X": X, "Y": Y, "subject_idxs": sidx,
+        "scale_stats": window_scale_stats(jnp.swapaxes(X, 1, 2)),
+    }
     state = create_train_state(enc, jax.random.PRNGKey(2), X, sidx)
-    col = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True, "precomputed": True}
+    col = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
+           "precomputed": True, "channels_last": True}
     step = make_train_step(enc, collate=col, donate=True)
 
     base_key = jax.random.PRNGKey(7)
