@@ -110,13 +110,16 @@ def run(args) -> None:
                 DeviceResidentGwilliams,
             )
 
+            import jax.numpy as jnp
+
             cl = bool(args.select("tpu.channels_last_io", False))
+            sdt = jnp.dtype(args.select("tpu.data_dtype", "float32"))
             batchers[id(train_set)] = DeviceResidentGwilliams(
-                train_set, channels_last=cl
+                train_set, store_dtype=sdt, channels_last=cl
             )
             if test_set is not train_set:
                 batchers[id(test_set)] = DeviceResidentGwilliams(
-                    test_set, channels_last=cl
+                    test_set, store_dtype=sdt, channels_last=cl
                 )
 
         def _make_batch(ds, epoch_rng, ids):
