@@ -113,3 +113,12 @@ def test_embed_waveform_last4_chunking():
     ref = torch.vstack(refs).T.numpy()
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_offline_load_raises_informative_error():
+    """Without network or a local checkpoint, load_wav2vec_model must fail
+    with actionable guidance rather than a bare download error."""
+    from speech_decoding_tpu.models.wav2vec_util import load_wav2vec_model
+
+    with pytest.raises(RuntimeError, match="local checkpoint"):
+        load_wav2vec_model("nonexistent/model-name-xyz")
