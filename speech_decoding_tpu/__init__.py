@@ -23,4 +23,10 @@ __version__ = "0.1.0"
 
 from speech_decoding_tpu.config import Config, load_config, default_config
 
+# Subpackage map (imported lazily by users to keep `import speech_decoding_tpu`
+# light): models (BrainEncoder, CLIPLoss, wav2vec2), ops (DSP + pallas
+# kernels), data (datasets, layouts, device-resident batcher, synthetic
+# generators), parallel (mesh, sharded loss/retrieval, multihost), training
+# (steps, Trainer, checkpoints), inference (SpeechDecoder), utils.
+
 __all__ = ["Config", "load_config", "default_config", "__version__"]
