@@ -65,3 +65,66 @@ class TestSubjectMatmulKernel:
         gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(x, w)
         np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=1e-4, atol=1e-5)
+
+
+class TestFusedConvBlock:
+    def test_stack_matches_flax_eval(self, rng):
+        from speech_decoding_tpu.data.layout import ch_locations_2d
+        from speech_decoding_tpu.models.brain_encoder import ConvBlock, SubjectBlock
+        from speech_decoding_tpu.ops.pallas.conv_block import (
+            apply_fused_stack,
+            prepare_fused_stack,
+        )
+        from speech_decoding_tpu.models import BrainEncoder
+
+        loc = ch_locations_2d("Gwilliams2022", cache=False)
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, channels_last_io=True
+        )
+        X = rng.normal(size=(5, 48, 208)).astype(np.float32)
+        sidx = np.zeros(5, np.int32)
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+        params, stats = v["params"], v["batch_stats"]
+        sb = SubjectBlock(2, 16, 4, 0.1, loc)
+        h = sb.apply({"params": params["subject_block"]}, jnp.asarray(X), sidx, True)
+
+        fused = apply_fused_stack(prepare_fused_stack(params, stats), h,
+                                  rows=2, interpret=True)
+        hx = h
+        for k in range(5):
+            hx = ConvBlock(k, 24).apply(
+                {"params": params[f"conv{k}"], "batch_stats": stats[f"conv{k}"]},
+                hx, True,
+            )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(hx), rtol=1e-5, atol=1e-6
+        )
+
+    def test_tail_padding(self, rng):
+        """B not a multiple of rows: padded rows must not leak into outputs."""
+        from speech_decoding_tpu.data.layout import ch_locations_2d
+        from speech_decoding_tpu.models import BrainEncoder
+        from speech_decoding_tpu.ops.pallas.conv_block import (
+            apply_fused_stack,
+            prepare_fused_stack,
+        )
+
+        loc = ch_locations_2d("Gwilliams2022", cache=False)
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, channels_last_io=True
+        )
+        X = rng.normal(size=(3, 48, 208)).astype(np.float32)
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, np.zeros(3, np.int32), train=False,
+        )
+        h = rng.normal(size=(3, 48, 16)).astype(np.float32)
+        staged = prepare_fused_stack(v["params"], v["batch_stats"])
+        out_pad = apply_fused_stack(staged, jnp.asarray(h), rows=4, interpret=True)
+        out_exact = apply_fused_stack(staged, jnp.asarray(h), rows=1, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_pad), np.asarray(out_exact), rtol=1e-5, atol=1e-6
+        )
