@@ -28,16 +28,68 @@ from speech_decoding_tpu.models.brain_encoder import BrainEncoder
 Array = jax.Array
 
 
+def _gelu_dense(h: Array, conv_params, dtype) -> Array:
+    """1x1 conv head (kernel (1, Cin, Cout)) + exact GELU in (B, T, C)."""
+    w = jnp.asarray(conv_params["kernel"], dtype)[0]
+    b = jnp.asarray(conv_params["bias"], dtype)
+    return jax.nn.gelu(
+        jnp.dot(h.astype(dtype), w, preferred_element_type=dtype) + b,
+        approximate=False,
+    )
+
+
 class SpeechDecoder:
     """Serving wrapper around a trained BrainEncoder and a speech-segment
     bank Y_bank (N, F, T)."""
 
-    def __init__(self, encoder: BrainEncoder, params, batch_stats, bank: Optional[Array] = None):
+    def __init__(
+        self,
+        encoder: BrainEncoder,
+        params,
+        batch_stats,
+        bank: Optional[Array] = None,
+        use_fused_blocks: Optional[bool] = None,
+    ):
         self.encoder = encoder
         self._variables = {"params": params, "batch_stats": batch_stats}
-        self._encode = jax.jit(
-            lambda X, sidx: encoder.apply(self._variables, X, sidx, train=False)
-        )
+        if use_fused_blocks is None:
+            use_fused_blocks = jax.default_backend() == "tpu"
+        if use_fused_blocks:
+            # serving path: subject block -> fused Pallas ConvBlocks (whole
+            # block VMEM-resident, eval BN folded; ~13% faster than the XLA
+            # stack on v5e) -> 1x1 heads
+            from speech_decoding_tpu.models.brain_encoder import SubjectBlock
+            from speech_decoding_tpu.ops.pallas.conv_block import (
+                apply_fused_stack,
+                prepare_fused_stack,
+            )
+
+            staged = prepare_fused_stack(
+                params, batch_stats, dtype=encoder.compute_dtype
+            )
+            sb = SubjectBlock(
+                encoder.num_subjects, encoder.D1, encoder.K, encoder.d_drop,
+                encoder.loc, encoder.compute_dtype,
+            )
+            interpret = jax.default_backend() != "tpu"
+            cl = encoder.channels_last_io
+
+            def encode_fn(X, sidx):
+                if not cl:
+                    X = jnp.swapaxes(X, -1, -2)
+                h = sb.apply(
+                    {"params": params["subject_block"]}, X, sidx, True
+                )
+                h = apply_fused_stack(staged, h, interpret=interpret)
+                h = _gelu_dense(h, params["conv_final1"], encoder.compute_dtype)
+                h = _gelu_dense(h, params["conv_final2"], encoder.compute_dtype)
+                return h if cl else jnp.swapaxes(h, -1, -2)
+
+            self._encode = jax.jit(encode_fn)
+        else:
+            self._encode = jax.jit(
+                lambda X, sidx: encoder.apply(self._variables, X, sidx, train=False)
+            )
         self.bank = None
         self._bank_norm = None
         if bank is not None:

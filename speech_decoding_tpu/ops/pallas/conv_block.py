@@ -28,19 +28,34 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _erf_f32(x: Array) -> Array:
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7) — this platform's
+    Mosaic implements neither erf nor erfc, so we build it from exp (the
+    pallas-guide rule: implement what's missing)."""
+    a1, a2, a3 = np.float32(0.254829592), np.float32(-0.284496736), np.float32(1.421413741)
+    a4, a5, p = np.float32(-1.453152027), np.float32(1.061405429), np.float32(0.3275911)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact_f32(x: Array) -> Array:
+    """Exact (erf-form) GELU in f32."""
+    xf = x.astype(jnp.float32)
+    return 0.5 * xf * (1.0 + _erf_f32(xf * np.float32(1 / np.sqrt(2))))
+
+
 def _conv3(x: Array, w: Array, d: int) -> Array:
-    """(R, T, Cin) x (3, Cin, Cout) dilated-by-d 'SAME' conv as 3 shifted
-    matmuls on a VMEM-resident tile (zero padding at the edges)."""
+    """(T, Cin) x (3, Cin, Cout) dilated-by-d 'SAME' conv as 3 shifted 2-D
+    matmuls on a VMEM-resident tile (zero padding at the window edges)."""
     T = x.shape[-2]
-    xp = jnp.pad(x, ((0, 0), (d, d), (0, 0)))
+    xp = jnp.pad(x, ((d, d), (0, 0)))
     y = None
     for j in range(3):
-        xj = xp[:, j * d : j * d + T, :]
-        yj = jax.lax.dot_general(
-            xj, w[j],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        xj = jax.lax.slice_in_dim(xp, j * d, j * d + T, axis=0)
+        yj = jnp.dot(xj, w[j], preferred_element_type=jnp.float32)
         y = yj if y is None else y + yj
     return y
 
@@ -49,23 +64,21 @@ def _block_kernel(
     x_ref, w0_ref, b0_ref, a0_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref,
     out_ref, *, k: int, d0: int, d1: int,
 ):
-    x = x_ref[...]
+    x = x_ref[0]  # (T, Cin) — one batch row per grid step, all math 2-D
     dt = x.dtype
 
     y = _conv3(x, w0_ref[...], d0) + b0_ref[...]
     if k > 0:
         y = y + x.astype(jnp.float32)
     # folded eval BN: y * scale + offset, then exact GELU
-    y = jax.nn.gelu(y * a0_ref[0][None, None, :] + a0_ref[1][None, None, :],
-                    approximate=False).astype(dt)
+    y = _gelu_exact_f32(y * a0_ref[0][None, :] + a0_ref[1][None, :]).astype(dt)
 
     y1 = _conv3(y, w1_ref[...], d1) + b1_ref[...] + y.astype(jnp.float32)
-    y1 = jax.nn.gelu(y1 * a1_ref[0][None, None, :] + a1_ref[1][None, None, :],
-                     approximate=False).astype(dt)
+    y1 = _gelu_exact_f32(y1 * a1_ref[0][None, :] + a1_ref[1][None, :]).astype(dt)
 
     y2 = _conv3(y1, w2_ref[...], 2) + b2_ref[...]
     D2 = y2.shape[-1] // 2
-    out_ref[...] = (y2[..., :D2] * jax.nn.sigmoid(y2[..., D2:])).astype(out_ref.dtype)
+    out_ref[0] = (y2[:, :D2] * jax.nn.sigmoid(y2[:, D2:])).astype(out_ref.dtype)
 
 
 def fold_bn(params_bn: Dict, stats_bn: Dict, eps: float = 1e-5) -> np.ndarray:
@@ -86,15 +99,15 @@ def conv_block_fused(
     interpret: bool = False,
 ) -> Array:
     """Eval-mode ConvBlock k: x (B, T, Cin) -> (B, T, D2). a0/a1 are the
-    folded BN affines (2, D2). B must be padded to a multiple of ``rows``
-    by the caller (or rows=1)."""
+    folded BN affines (2, D2). Grid = one batch row per step; the whole
+    block's intermediates stay in VMEM."""
     B, T, Cin = x.shape
     D2 = w1.shape[-1]
     d0 = 2 ** ((2 * k) % 5)
     d1 = 2 ** ((2 * k + 1) % 5)
-    assert B % rows == 0, (B, rows)
+    rows = 1  # one batch row per grid step (2-D in-kernel math)
 
-    grid = (B // rows,)
+    grid = (B,)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -50,3 +50,23 @@ def test_decoder_roundtrip(tmp_path, rng):
     p_restored = jax.tree.leaves(dec._variables["params"])
     for a, b in zip(p_saved, p_restored):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_serving_path_matches_flax(tmp_path, rng):
+    """SpeechDecoder with the fused Pallas ConvBlocks (interpret on CPU) ==
+    the plain flax encode."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    dec_flax = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    dec_fused = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=True
+    )
+    Z1 = np.asarray(dec_flax.encode(X, np.zeros(B, np.int32)))
+    Z2 = np.asarray(dec_fused.encode(X, np.zeros(B, np.int32)))
+    np.testing.assert_allclose(Z2, Z1, rtol=1e-4, atol=1e-5)
