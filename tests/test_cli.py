@@ -25,6 +25,9 @@ def _common_overrides(cfg):
     cfg.preprocs.last4layers = False  # F=16 (tiny w2v feature dim)
     cfg.set_path("tpu.compute_dtype", "float32")
     cfg.set_path("checkpoint.keep", 2)
+    # shared dir => auto-resume across run() calls (the default is a fresh
+    # per-run outputs/ dir, covered by test_run_dir_isolation)
+    cfg.set_path("checkpoint.dir", "checkpoints")
     return cfg
 
 
@@ -76,6 +79,22 @@ def test_gwilliams_cli_and_resume(tmp_path, w2v):
     cfg2 = cfg.copy()
     cfg2.epochs = 3
     train_cli.run(cfg2)
+
+    # default (no checkpoint.dir): fresh isolated run dir with a resolved
+    # config snapshot — two runs never collide [ref: config.yaml:51-54]
+    cfg3 = cfg.copy()
+    del cfg3["checkpoint"]["dir"]
+    train_cli.run(cfg3)
+    outputs = os.path.join(root, "outputs")
+    assert os.path.isdir(outputs)
+    run_dirs = [
+        os.path.join(dp, d)
+        for dp, dns, _ in os.walk(outputs)
+        for d in dns
+        if os.path.isfile(os.path.join(dp, d, "config.yaml"))
+    ]
+    assert len(run_dirs) == 1, run_dirs
+    assert os.listdir(os.path.join(run_dirs[0], "checkpoints"))
 
 
 def test_gwilliams_device_resident(tmp_path, w2v):

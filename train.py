@@ -71,7 +71,14 @@ def run(args) -> None:
     from speech_decoding_tpu.utils.logging import cprint
     from speech_decoding_tpu.utils.reproducibility import seed_everything
 
-    seed = int(args.get("seed", 0)) if args.reproducible else int(args.get("seed", 0))
+    # ``reproducible`` gates determinism like the reference's flag gates
+    # torch deterministic algorithms [ref: train.py:33-43]: when off, each
+    # run draws a fresh seed from OS entropy
+    seed = (
+        int(args.get("seed", 0))
+        if args.get("reproducible", True)
+        else int.from_bytes(os.urandom(4), "little")
+    )
     seed_everything(seed)
     rng = np.random.default_rng(seed)
     cprint(f"Devices: {jax.devices()}", "cyan")
@@ -166,8 +173,36 @@ def run(args) -> None:
 
     first = next(iter(train_batches(np.random.default_rng(seed))))
     logger = make_wandb_logger(args) if args.use_wandb else NoopLogger()
+
+    # per-run output isolation, like the reference's fresh Hydra chdir'd
+    # output dir [ref: configs/config.yaml:51-54]: unless checkpoint.dir or
+    # run_dir is given explicitly (resume = point at the previous run's dir),
+    # each run gets {root_dir}/outputs/<date>/<time>_<name>/ with its
+    # resolved config snapshot and checkpoints inside
+    ckpt_dir = args.select("checkpoint.dir", None)
+    run_dir = args.select("run_dir", None)
+    if run_dir is None and ckpt_dir is None:
+        from datetime import datetime
+
+        name = "_".join(
+            str(p) for p in (args.get("run_name", "run"), args.get("split_mode", "")) if p
+        )
+        run_dir = os.path.join(
+            args.root_dir, "outputs", f"{datetime.now():%Y-%m-%d/%H-%M-%S}_{name}"
+        )
+    if run_dir is not None:
+        os.makedirs(run_dir, exist_ok=True)
+        import yaml
+
+        with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(args.to_dict(), f, default_flow_style=False)
+        cprint(f"Run dir: {run_dir}", "cyan")
+        if ckpt_dir is None:
+            ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if not os.path.isabs(ckpt_dir):
+        ckpt_dir = os.path.join(args.root_dir, ckpt_dir)
     ckpts = CheckpointManager(
-        os.path.join(args.root_dir, args.select("checkpoint.dir", "checkpoints")),
+        ckpt_dir,
         keep=int(args.select("checkpoint.keep", 3)),
         every_epochs=int(args.select("checkpoint.every_epochs", 1)),
     )
@@ -181,15 +216,22 @@ def run(args) -> None:
         checkpoints=ckpts,
     )
 
-    def test_batch():
-        tb_rng = np.random.default_rng(seed + 1)
+    def test_batch(salt: int = 0):
+        tb_rng = np.random.default_rng(seed + 1 + salt)
         if args.dataset == "Gwilliams2022":
             return _make_batch(test_set, tb_rng, test_pool)
         return test_set.sample_batch(tb_rng, test_pool)
 
+    # default: one fixed test batch (deterministic eval across epochs).
+    # tpu.redraw_test_batch=True re-draws the random session/subject per
+    # epoch, matching the reference's per-access sampling in __getitem__
+    # [ref: gwilliams2022.py:133, brennan2018.py:148]
+    redraw = bool(args.select("tpu.redraw_test_batch", False))
     tb = test_batch()
     for epoch in range(trainer.start_epoch, args.epochs):
         epoch_rng = np.random.default_rng(seed * 100003 + epoch)
+        if redraw and epoch > trainer.start_epoch:
+            tb = test_batch(salt=1000 * epoch)
         trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
     if trainer.checkpoints:
         trainer.checkpoints.wait()
