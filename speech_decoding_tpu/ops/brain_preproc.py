@@ -203,7 +203,16 @@ def preprocess_batch(
         return [np.asarray(o) if to_host else o for o in outs]
     taps = jnp.asarray(taps_np)
 
+    def _readback(y, crops):
+        # np.asarray is the only blocking point; by the time it runs, the NEXT
+        # microbatch's transfer + compute have already been enqueued
+        host = np.asarray(y)
+        for rec, (start, n_out) in zip(host, crops):
+            outs.append(rec[..., start : start + n_out])
+
     outs = []
+    pending = None  # depth-2 software pipeline: readback of microbatch k
+    # overlaps the (async) device_put + compute of microbatch k+1
     for i in range(0, len(recordings), microbatch):
         chunk = recordings[i : i + microbatch]
         chunk_plans = tuple(tuple(p) for p in plans[i : i + microbatch])
@@ -222,10 +231,12 @@ def preprocess_batch(
             for (pl, _), n in zip(chunk_plans, lengths[i : i + microbatch])
         ]
         if to_host:
-            host = np.asarray(y)
-            for rec, (start, n_out) in zip(host, crops):
-                outs.append(rec[..., start : start + n_out])
+            if pending is not None:
+                _readback(*pending)
+            pending = (y, crops)
         else:
             for rec, (start, n_out) in zip(y, crops):
                 outs.append(jax.lax.dynamic_slice_in_dim(rec, start, n_out, axis=-1))
+    if pending is not None:
+        _readback(*pending)
     return outs
