@@ -26,13 +26,15 @@ def cosine_similarity_matrix(Z: Array, Y: Array, eps: float = 1e-8) -> Array:
     """sim[i, j] = cos(Y_i, Z_j) — the reference's transposed orientation
     [ref: models.py:226-233], with the same eps guard on the norm product."""
     B = Z.shape[0]
-    z = Z.reshape(B, -1).astype(jnp.float32)
-    y = Y.reshape(B, -1).astype(jnp.float32)
+    # stay in the inputs' dtype; all dot products accumulate in f32 (avoids
+    # f32 copies of the (B, F·T) embeddings under bf16 compute)
+    z = Z.reshape(B, -1)
+    y = Y.reshape(B, -1)
     dots = jnp.matmul(y, z.T, preferred_element_type=jnp.float32)
-    norms = jnp.maximum(
-        jnp.outer(jnp.linalg.norm(y, axis=-1), jnp.linalg.norm(z, axis=-1)), eps
-    )
-    return dots / norms
+    zn = jnp.sqrt(jnp.einsum("bd,bd->b", z, z, preferred_element_type=jnp.float32))
+    yn = jnp.sqrt(jnp.einsum("bd,bd->b", y, y, preferred_element_type=jnp.float32))
+    norms = jnp.maximum(jnp.outer(yn, zn), eps)
+    return dots.astype(jnp.float32) / norms
 
 
 def retrieval_accuracy_from_similarity(

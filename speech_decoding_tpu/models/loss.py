@@ -46,14 +46,23 @@ def _cross_entropy_arange(logits: Array, reduction: str = "mean") -> Array:
 
 def clip_logits(x: Array, y: Array, temp: Array) -> Array:
     """Flatten, L2-normalize and correlate: logits = x̂ @ ŷᵀ · exp(temp)
-    [ref: loss.py:61-71]. x, y: (B, F, T) or (B, D)."""
+    [ref: loss.py:61-71]. x, y: (B, F, T) or (B, D).
+
+    The normalize + matmul run in the inputs' own dtype with f32
+    accumulation: under bf16 compute this avoids materializing two f32
+    copies of the (B, F·T) embeddings (~400 MB of convert/copy traffic per
+    step at B=64); with f32 inputs the math is unchanged (the parity-test
+    path)."""
     B = x.shape[0]
-    x = x.reshape(B, -1).astype(jnp.float32)
-    y = y.reshape(B, -1).astype(jnp.float32)
-    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-    y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    x = x.reshape(B, -1)
+    y = y.reshape(B, -1)
+    # sum-of-squares accumulates in f32 regardless of input dtype
+    xn2 = jnp.einsum("bd,bd->b", x, x, preferred_element_type=jnp.float32)
+    yn2 = jnp.einsum("bd,bd->b", y, y, preferred_element_type=jnp.float32)
+    x = x / jnp.sqrt(xn2)[:, None].astype(x.dtype)
+    y = y / jnp.sqrt(yn2)[:, None].astype(y.dtype)
     logits = jnp.matmul(x, y.T, preferred_element_type=jnp.float32)
-    return logits * jnp.exp(temp)
+    return logits.astype(jnp.float32) * jnp.exp(temp)
 
 
 def clip_loss(
