@@ -88,24 +88,23 @@ def fold_bn(params_bn: Dict, stats_bn: Dict, eps: float = 1e-5) -> np.ndarray:
     return np.stack([scale, offset]).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def conv_block_fused(
     x: Array,
     w0: Array, b0: Array, a0: Array,
     w1: Array, b1: Array, a1: Array,
     w2: Array, b2: Array,
     k: int,
-    rows: int = 8,
     interpret: bool = False,
 ) -> Array:
     """Eval-mode ConvBlock k: x (B, T, Cin) -> (B, T, D2). a0/a1 are the
-    folded BN affines (2, D2). Grid = one batch row per step; the whole
-    block's intermediates stay in VMEM."""
+    folded BN affines (2, D2). Grid = one batch row per step (2-D in-kernel
+    math); the whole block's intermediates stay in VMEM."""
     B, T, Cin = x.shape
     D2 = w1.shape[-1]
     d0 = 2 ** ((2 * k) % 5)
     d1 = 2 ** ((2 * k + 1) % 5)
-    rows = 1  # one batch row per grid step (2-D in-kernel math)
+    rows = 1
 
     grid = (B,)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -154,12 +153,8 @@ def prepare_fused_stack(params: Dict, batch_stats: Dict, dtype=jnp.float32):
     return staged
 
 
-def apply_fused_stack(staged, x: Array, rows: int = 8, interpret: bool = False) -> Array:
+def apply_fused_stack(staged, x: Array, interpret: bool = False) -> Array:
     """Apply all five fused ConvBlocks (eval mode) to x (B, T, D1)."""
-    B = x.shape[0]
-    pad = (-B) % rows
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
     for k, args in enumerate(staged):
-        x = conv_block_fused(x, *args, k=k, rows=rows, interpret=interpret)
-    return x[:B] if pad else x
+        x = conv_block_fused(x, *args, k=k, interpret=interpret)
+    return x

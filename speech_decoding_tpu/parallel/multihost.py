@@ -15,6 +15,7 @@ TPU slice host (e.g. v4-32, BASELINE.json config 5) is TPU-native here:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -49,13 +50,63 @@ def init_distributed(
     return jax.process_count() > 1
 
 
+def maybe_init_distributed(args) -> bool:
+    """CLI hook: initialize jax.distributed when the run is multi-process.
+
+    Activation, in priority order (must run BEFORE first device use):
+      * ``tpu.multihost=True`` config override — explicit opt-in; coordinator
+        coords come from ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+        ``JAX_PROCESS_ID`` (or TPU-pod auto-detection when unset);
+      * the three JAX_* env vars being present (standard multi-process launch);
+      * ``tpu.multihost=False`` (default) on a bare env: no-op, single process.
+
+    Launch recipe (one command per host of e.g. a v4-32, 4 hosts):
+
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \\
+        JAX_PROCESS_ID=<i> python train.py dataset=Gwilliams2022 \\
+            tpu.multihost=True batch_size=256
+
+    On Cloud TPU pod slices the env vars may be omitted entirely
+    (jax.distributed auto-detects via the TPU metadata server). Each process
+    then loads only its ``batch_size / num_processes`` rows per step and the
+    global batch is assembled via ``global_batch_from_host_local`` —
+    batches never cross DCN; only the model's collectives do.
+    """
+    want = bool(args.select("tpu.multihost", False))
+    env = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (want or env):
+        return False
+    addr = env
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    return init_distributed(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid is not None else None,
+    )
+
+
+def host_local_slice(n_rows: int) -> slice:
+    """This process's contiguous block of a global batch of ``n_rows``.
+
+    Row order matches a "data"-axis NamedSharding over a mesh built from
+    jax.devices() (devices are ordered by process index), so the block feeds
+    straight into ``global_batch_from_host_local``.
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    assert n_rows % pc == 0, f"global batch {n_rows} not divisible by {pc} hosts"
+    per = n_rows // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
 def global_batch_from_host_local(
-    batch: Dict[str, np.ndarray], mesh: Mesh
+    batch: Dict[str, np.ndarray], mesh: Mesh, spec: Optional[P] = None
 ) -> Dict[str, jax.Array]:
     """Each process passes its LOCAL shard (global_batch / num_processes
-    rows); returns global arrays sharded over the "data" axis."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    rows); returns global arrays sharded over the "data" axis (or ``spec``,
+    e.g. P(None, "data") for scan-stacked (k, B, ...) groups)."""
+    sharding = NamedSharding(mesh, spec if spec is not None else P(DATA_AXIS))
     return {
-        k: jax.make_array_from_process_local_data(sharding, v)
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in batch.items()
     }

@@ -124,22 +124,62 @@ class Trainer:
                 self.start_epoch = epoch + 1
 
         devices = jax.devices()
-        batch_div = sample_batch["X"].shape[0] % len(devices) == 0
-        self.mesh = make_mesh() if len(devices) > 1 and batch_div else None
+        self.multihost = jax.process_count() > 1
+        if self.multihost:
+            # sample_batch is this host's LOCAL shard; the mesh is global.
+            # State was initialized identically on every host (shared seed);
+            # lift it into global fully-replicated arrays for the SPMD step.
+            assert sample_batch["X"].shape[0] % jax.local_device_count() == 0
+            self.mesh = make_mesh()
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            self.state = multihost_utils.host_local_array_to_global_array(
+                self.state, self.mesh, P()
+            )
+        else:
+            batch_div = sample_batch["X"].shape[0] % len(devices) == 0
+            self.mesh = make_mesh() if len(devices) > 1 and batch_div else None
         self._sharding = batch_sharding(self.mesh) if self.mesh else None
+        self.is_primary = jax.process_index() == 0
         self._key = jax.random.fold_in(key, 977)
         self.history: List[Dict] = []
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        if self.multihost:
+            # batch is this host's local block; reassemble the global batch
+            from speech_decoding_tpu.parallel.multihost import (
+                global_batch_from_host_local,
+            )
+
+            return global_batch_from_host_local(batch, self.mesh)
         B = batch["X"].shape[0]
         if self._sharding is not None and B % self.mesh.shape["data"] == 0:
             return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
+    def _put_eval(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """Full-test-set batch: every host holds the SAME full batch (shared
+        seed), so under multi-host it lifts to a global replicated array."""
+        if self.multihost:
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            return multihost_utils.host_local_array_to_global_array(
+                {k: np.asarray(v) for k, v in batch.items()}, self.mesh, P()
+            )
+        return self._put(batch)
+
     def _put_stacked(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """Stacked scan groups (k, B, ...): shard the BATCH axis (axis 1)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self.multihost:
+            from speech_decoding_tpu.parallel.multihost import (
+                global_batch_from_host_local,
+            )
+
+            return global_batch_from_host_local(batch, self.mesh, P(None, "data"))
         B = batch["X"].shape[1]
         if self.mesh is not None and B % self.mesh.shape["data"] == 0:
             sh = NamedSharding(self.mesh, P(None, "data"))
@@ -233,6 +273,8 @@ class Trainer:
         train_metrics = pulled
         train_time = time.perf_counter() - t0
 
+        if self.multihost:
+            segments *= jax.process_count()  # local rows -> global rows
         out: Dict[str, float] = {
             "epoch": epoch,
             "train_loss": float(np.mean([m["loss"] for m in train_metrics])),
@@ -246,7 +288,7 @@ class Trainer:
         if test_batch is not None:
             # transfer the (large, constant) test batch once, not per epoch
             if getattr(self, "_test_cache_id", None) != id(test_batch):
-                self._test_cache = self._put(test_batch)
+                self._test_cache = self._put_eval(test_batch)
                 self._test_cache_id = id(test_batch)
             B_test = test_batch["X"].shape[0]
             if 0 < self.eval_chunk_size < B_test:
@@ -268,18 +310,22 @@ class Trainer:
                 test_loss=ev["loss"], testTop1acc=ev["top1"], testTop10acc=ev["top10"]
             )
 
-        cprint(
-            f"Ep {epoch}/{self.args.epochs} | "
-            f"train l: {out['train_loss']:.3f} | "
-            f"test l: {out.get('test_loss', float('nan')):.3f} | "
-            f"trainTop10acc: {out['trainTop10acc']:.3f} | "
-            f"testTop10acc: {out.get('testTop10acc', float('nan')):.3f} | "
-            f"temp: {out['temp']:.3f} | "
-            f"{out['train_segments_per_sec']:.1f} seg/s",
-            "white",
-        )
+        if self.is_primary:
+            cprint(
+                f"Ep {epoch}/{self.args.epochs} | "
+                f"train l: {out['train_loss']:.3f} | "
+                f"test l: {out.get('test_loss', float('nan')):.3f} | "
+                f"trainTop10acc: {out['trainTop10acc']:.3f} | "
+                f"testTop10acc: {out.get('testTop10acc', float('nan')):.3f} | "
+                f"temp: {out['temp']:.3f} | "
+                f"{out['train_segments_per_sec']:.1f} seg/s",
+                "white",
+            )
         self.logger.log(out)
         self.history.append(out)
-        if self.checkpoints:
-            self.checkpoints.save(epoch, self.state)
+        if self.checkpoints and self.is_primary:
+            # multi-host: state is fully replicated — the primary snapshots its
+            # local copy to host and saves alone (no cross-host orbax barrier)
+            st = jax.device_get(self.state) if self.multihost else self.state
+            self.checkpoints.save(epoch, st)
         return out

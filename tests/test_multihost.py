@@ -1,0 +1,94 @@
+"""Multi-host (multi-process) training test: two jax.distributed CPU
+processes (2 virtual devices each -> a 4-device global mesh) run one epoch
+through the REAL Trainer wiring (host-local batch shards reassembled via
+jax.make_array_from_process_local_data) and must agree with each other AND
+with a single-process run on the same global batches.
+
+The reference has nothing multi-host [ref: train.py:31]; this validates the
+v4-32-style data-parallel loading path (SURVEY §2.10) end-to-end.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(nproc: int = 2, timeout: int = 600):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "multihost_worker.py"),
+                str(i),
+                str(nproc),
+                str(port),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args[-2]} failed:\n{out[-4000:]}"
+    results = {}
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-4000:]
+        r = json.loads(lines[-1][len("RESULT ") :])
+        results[r["pid"]] = r
+    return results
+
+
+def test_two_process_training_matches_single_process():
+    results = _run_workers(2)
+    assert set(results) == {0, 1}
+    r0, r1 = results[0], results[1]
+
+    # both processes observe the SAME global metrics (replicated outputs)
+    for k in ("train_loss", "test_loss", "testTop10acc", "temp"):
+        np.testing.assert_allclose(r0[k], r1[k], rtol=1e-6, err_msg=k)
+
+    # ground truth: the identical epoch on this (single-process, 8-device
+    # CPU mesh) interpreter — different device count, same global math
+    from tests.multihost_worker import make_args, make_batches, make_encoder
+    from speech_decoding_tpu.training.trainer import Trainer
+
+    *train, test = make_batches()
+    trainer = Trainer(make_encoder(), make_args(), train[0])
+    assert not trainer.multihost
+    out = trainer.run_epoch(0, iter(train), test)
+
+    np.testing.assert_allclose(r0["train_loss"], out["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(r0["test_loss"], out["test_loss"], rtol=2e-4)
+    np.testing.assert_allclose(r0["temp"], out["temp"], rtol=2e-4)
+    np.testing.assert_allclose(r0["testTop10acc"], out["testTop10acc"], atol=1e-9)

@@ -92,7 +92,7 @@ class TestFusedConvBlock:
         h = sb.apply({"params": params["subject_block"]}, jnp.asarray(X), sidx, True)
 
         fused = apply_fused_stack(prepare_fused_stack(params, stats), h,
-                                  rows=2, interpret=True)
+                                  interpret=True)
         hx = h
         for k in range(5):
             hx = ConvBlock(k, 24).apply(
@@ -103,28 +103,3 @@ class TestFusedConvBlock:
             np.asarray(fused), np.asarray(hx), rtol=1e-5, atol=1e-6
         )
 
-    def test_tail_padding(self, rng):
-        """B not a multiple of rows: padded rows must not leak into outputs."""
-        from speech_decoding_tpu.data.layout import ch_locations_2d
-        from speech_decoding_tpu.models import BrainEncoder
-        from speech_decoding_tpu.ops.pallas.conv_block import (
-            apply_fused_stack,
-            prepare_fused_stack,
-        )
-
-        loc = ch_locations_2d("Gwilliams2022", cache=False)
-        enc = BrainEncoder(
-            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, channels_last_io=True
-        )
-        X = rng.normal(size=(3, 48, 208)).astype(np.float32)
-        v = enc.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            X, np.zeros(3, np.int32), train=False,
-        )
-        h = rng.normal(size=(3, 48, 16)).astype(np.float32)
-        staged = prepare_fused_stack(v["params"], v["batch_stats"])
-        out_pad = apply_fused_stack(staged, jnp.asarray(h), rows=4, interpret=True)
-        out_exact = apply_fused_stack(staged, jnp.asarray(h), rows=1, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(out_pad), np.asarray(out_exact), rtol=1e-5, atol=1e-6
-        )

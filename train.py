@@ -57,7 +57,15 @@ def build_gwilliams(args, rng):
 
 
 def run(args) -> None:
+    # multi-host bootstrap MUST precede first device use (no-op single-host)
+    from speech_decoding_tpu.parallel.multihost import (
+        host_local_slice,
+        maybe_init_distributed,
+    )
+
     import jax
+
+    multihost = maybe_init_distributed(args)
 
     from speech_decoding_tpu.data.layout import ch_locations_2d
     from speech_decoding_tpu.data.sampling import (
@@ -141,8 +149,15 @@ def run(args) -> None:
                     train_pool, args.batch_size, args.updates, epoch_rng
                 )
             else:
-                ids_iter = iter_shuffled_batches(train_pool, args.batch_size, epoch_rng)
+                ids_iter = iter_shuffled_batches(
+                    train_pool, args.batch_size, epoch_rng, drop_last=multihost
+                )
             for ids in ids_iter:
+                # multi-host: every process samples the SAME global ids (shared
+                # seed) and materializes only its contiguous block; the global
+                # batch is reassembled on device (multihost.py)
+                if multihost:
+                    ids = ids[host_local_slice(len(ids))]
                 yield _make_batch(train_set, epoch_rng, ids)
 
     elif args.dataset == "Brennan2018":
@@ -161,8 +176,13 @@ def run(args) -> None:
 
         def train_batches(epoch_rng):
             for ids in iter_shuffled_batches(
-                train_pool, args.batch_size, epoch_rng, drop_last=accumulate_steps > 1
+                train_pool,
+                args.batch_size,
+                epoch_rng,
+                drop_last=accumulate_steps > 1 or multihost,
             ):
+                if multihost:
+                    ids = ids[host_local_slice(len(ids))]
                 yield train_set.sample_batch(epoch_rng, ids)
 
     else:
@@ -172,7 +192,8 @@ def run(args) -> None:
     encoder = BrainEncoder.from_config(args, loc, num_subjects)
 
     first = next(iter(train_batches(np.random.default_rng(seed))))
-    logger = make_wandb_logger(args) if args.use_wandb else NoopLogger()
+    is_primary = (not multihost) or jax.process_index() == 0
+    logger = make_wandb_logger(args) if (args.use_wandb and is_primary) else NoopLogger()
 
     # per-run output isolation, like the reference's fresh Hydra chdir'd
     # output dir [ref: configs/config.yaml:51-54]: unless checkpoint.dir or
@@ -181,7 +202,13 @@ def run(args) -> None:
     # resolved config snapshot and checkpoints inside
     ckpt_dir = args.select("checkpoint.dir", None)
     run_dir = args.select("run_dir", None)
-    if run_dir is None and ckpt_dir is None:
+    if multihost and not is_primary:
+        # non-primary hosts never create timestamped run dirs (clock skew
+        # would diverge); an EXPLICIT checkpoint.dir (required for multi-host
+        # resume, on a shared filesystem) is kept for restore — the Trainer
+        # writes checkpoints only from the primary
+        run_dir = None
+    elif run_dir is None and ckpt_dir is None:
         from datetime import datetime
 
         name = "_".join(
@@ -199,13 +226,15 @@ def run(args) -> None:
         cprint(f"Run dir: {run_dir}", "cyan")
         if ckpt_dir is None:
             ckpt_dir = os.path.join(run_dir, "checkpoints")
-    if not os.path.isabs(ckpt_dir):
-        ckpt_dir = os.path.join(args.root_dir, ckpt_dir)
-    ckpts = CheckpointManager(
-        ckpt_dir,
-        keep=int(args.select("checkpoint.keep", 3)),
-        every_epochs=int(args.select("checkpoint.every_epochs", 1)),
-    )
+    ckpts = None
+    if ckpt_dir is not None:
+        if not os.path.isabs(ckpt_dir):
+            ckpt_dir = os.path.join(args.root_dir, ckpt_dir)
+        ckpts = CheckpointManager(
+            ckpt_dir,
+            keep=int(args.select("checkpoint.keep", 3)),
+            every_epochs=int(args.select("checkpoint.every_epochs", 1)),
+        )
     trainer = Trainer(
         encoder,
         args,
