@@ -53,22 +53,35 @@ def _build_train_step(
     encoder,
     reduction: str = "mean",
     collate: Optional[Dict] = None,
+    fused_blocks: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """The un-jitted single train step (shared by the jitted single-step and
-    the lax.scan multi-step wrappers)."""
+    the lax.scan multi-step wrappers). ``fused_blocks`` routes the ConvBlock
+    stack through the fused Pallas train kernels (custom VJP) instead of the
+    flax/XLA path — same math, same param/stat trees (models/fused_train)."""
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         X = _maybe_collate(batch, collate)
-        Z, mutated = encoder.apply(
-            {"params": params["encoder"], "batch_stats": batch_stats},
-            X,
-            batch["subject_idxs"],
-            train=True,
-            mutable=["batch_stats"],
-            rngs={"dropout": dropout_key},
-        )
+        if fused_blocks:
+            from speech_decoding_tpu.models.fused_train import fused_train_forward
+
+            Z, new_stats = fused_train_forward(
+                encoder, params["encoder"], batch_stats, X,
+                batch["subject_idxs"], dropout_key,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            Z, mutated = encoder.apply(
+                {"params": params["encoder"], "batch_stats": batch_stats},
+                X,
+                batch["subject_idxs"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+            new_stats = mutated["batch_stats"]
         loss = clip_loss(batch["Y"], Z, params["clip"]["temp"][0], reduction)
-        return loss, (Z, mutated["batch_stats"])
+        return loss, (Z, new_stats)
 
     def train_step(state: TrainState, batch: Batch, base_key: Array):
         # derive the per-step dropout key in-graph (no per-step host RNG ops;
@@ -95,9 +108,10 @@ def make_train_step(
     reduction: str = "mean",
     collate: Optional[Dict] = None,
     donate: bool = True,
+    fused_blocks: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jitted train step for a given encoder/config."""
-    train_step = _build_train_step(encoder, reduction, collate)
+    train_step = _build_train_step(encoder, reduction, collate, fused_blocks)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -106,13 +120,14 @@ def make_train_step_scan(
     reduction: str = "mean",
     collate: Optional[Dict] = None,
     donate: bool = True,
+    fused_blocks: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Multi-step train: one dispatch runs ``k`` optimizer steps via lax.scan
     over a stacked batch (leading axis k on every array). Amortizes dispatch
     latency (critical on remote/tunneled devices, still a win locally) while
     keeping semantics identical to k calls of the single step. Returns
     (state, metrics-with-leading-k-axis)."""
-    single = _build_train_step(encoder, reduction, collate)
+    single = _build_train_step(encoder, reduction, collate, fused_blocks)
 
     def train_steps(state: TrainState, batches: Batch, base_key: Array):
         def body(st, batch):

@@ -93,10 +93,19 @@ class Trainer:
             lr=float(args.lr),
             accumulate_steps=accumulate_steps,
         )
-        self.train_step = make_train_step(encoder, args.reduction, collate, donate=True)
+        # fused Pallas train-mode ConvBlocks (custom VJP, opt-in): measured at
+        # parity with the XLA stack on v5e at B=64 (see TODO.md), so the
+        # default stays XLA until the fused path wins outright
+        fused = bool(args.select("tpu.fused_train_blocks", False))
+        self.train_step = make_train_step(
+            encoder, args.reduction, collate, donate=True, fused_blocks=bool(fused)
+        )
         self.scan_steps = int(args.select("tpu.scan_steps", 1))
         self.train_step_scan = (
-            make_train_step_scan(encoder, args.reduction, collate, donate=True)
+            make_train_step_scan(
+                encoder, args.reduction, collate, donate=True,
+                fused_blocks=bool(fused),
+            )
             if self.scan_steps > 1
             else None
         )

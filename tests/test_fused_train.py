@@ -1,0 +1,125 @@
+"""Parity tests: fused Pallas train-mode ConvBlock stack (custom VJP) vs the
+flax/XLA path — forward outputs, BN running-stat updates, and gradients wrt
+every parameter and the input (VERDICT item: train-mode fused kernel with
+gradient parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_decoding_tpu.data.layout import ch_locations_2d
+from speech_decoding_tpu.models import BrainEncoder
+from speech_decoding_tpu.models.fused_train import fused_train_forward
+
+B, C, T, F = 3, 208, 48, 32
+
+
+def _setup(channels_last=True, d_drop=0.0, batch=B):
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(
+        num_subjects=2, loc=loc, D1=16, D2=24, F=F, K=4, d_drop=d_drop,
+        channels_last_io=channels_last,
+    )
+    rng = np.random.default_rng(7)
+    shape = (batch, T, C) if channels_last else (batch, C, T)
+    X = rng.normal(size=shape).astype(np.float32)
+    sidx = (np.arange(batch) % 2).astype(np.int32)
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(X), sidx, train=False,
+    )
+    return enc, variables, jnp.asarray(X), jnp.asarray(sidx)
+
+
+def _flax_forward(enc, variables, X, sidx, key):
+    Z, mut = enc.apply(
+        variables, X, sidx, train=True, mutable=["batch_stats"],
+        rngs={"dropout": key},
+    )
+    return Z, mut["batch_stats"]
+
+
+class TestFusedTrainForward:
+    # batch=3 exercises the 1-row grid, batch=4 the 4-rows-per-step path
+    @pytest.mark.parametrize("channels_last,batch", [(True, 3), (False, 3), (True, 4)])
+    def test_output_and_stats_match_flax(self, channels_last, batch):
+        enc, variables, X, sidx = _setup(channels_last, batch=batch)
+        key = jax.random.PRNGKey(3)
+        Z_ref, stats_ref = _flax_forward(enc, variables, X, sidx, key)
+        Z, stats = fused_train_forward(
+            enc, variables["params"], variables["batch_stats"], X, sidx, key,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(Z), np.asarray(Z_ref), rtol=2e-4, atol=2e-5
+        )
+        for blk in stats_ref:
+            for bn in stats_ref[blk]:
+                for leaf in ("mean", "var"):
+                    np.testing.assert_allclose(
+                        np.asarray(stats[blk][bn][leaf]),
+                        np.asarray(stats_ref[blk][bn][leaf]),
+                        rtol=1e-4, atol=1e-6,
+                        err_msg=f"{blk}/{bn}/{leaf}",
+                    )
+
+    def test_spatial_dropout_active(self):
+        """Nonzero d_drop must change the output for some key (the mask is
+        drawn from the raw key here, a documented divergence from the flax
+        path-folded stream)."""
+        enc, variables, X, sidx = _setup(d_drop=0.7)
+        outs = []
+        for s in (0, 1, 2):
+            Z, _ = fused_train_forward(
+                enc, variables["params"], variables["batch_stats"], X, sidx,
+                jax.random.PRNGKey(s), interpret=True,
+            )
+            outs.append(np.asarray(Z))
+        assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+class TestFusedTrainGrads:
+    def test_grads_match_flax(self):
+        enc, variables, X, sidx = _setup()
+        key = jax.random.PRNGKey(3)
+        tgt = jax.random.normal(jax.random.PRNGKey(9), (B, T, F))
+
+        def loss_flax(params, X):
+            Z, _ = enc.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                X, sidx, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            return jnp.mean((Z - tgt) ** 2) + jnp.mean(jnp.abs(Z))
+
+        def loss_fused(params, X):
+            Z, _ = fused_train_forward(
+                enc, params, variables["batch_stats"], X, sidx, key,
+                interpret=True,
+            )
+            return jnp.mean((Z - tgt) ** 2) + jnp.mean(jnp.abs(Z))
+
+        (l_ref, g_ref) = jax.value_and_grad(loss_flax, argnums=(0, 1))(
+            variables["params"], X
+        )
+        (l_fused, g_fused) = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+            variables["params"], X
+        )
+        np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+
+        flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+        flat_fused = jax.tree_util.tree_flatten_with_path(g_fused)[0]
+        assert len(flat_ref) == len(flat_fused)
+        for (path_r, leaf_r), (path_f, leaf_f) in zip(flat_ref, flat_fused):
+            assert path_r == path_f
+            name = jax.tree_util.keystr(path_r)
+            # conv biases feeding straight into a BatchNorm have exactly-zero
+            # gradients (the mean subtraction cancels them); both paths emit
+            # ~1e-8 rounding noise there — the atol floor covers it
+            scale = np.abs(np.asarray(leaf_r)).max()
+            atol = max(5e-5 * scale, 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(leaf_f), np.asarray(leaf_r),
+                rtol=5e-4, atol=atol, err_msg=name,
+            )
