@@ -216,3 +216,44 @@ def test_time_sharded_bandpass_matches_single_device(mesh, rng):
         bandpass_filter_sharded(jnp.asarray(x), sfreq, 2.0, 40.0, mesh)
     )
     np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-5)
+
+
+def test_channel_sharded_resample_matches_single_device(mesh, rng):
+    """Channel-sharded FFT resample == the single-device fft_resample bit-for
+    -bit structure (zero communication; each device runs the exact MNE
+    algorithm on its channel block)."""
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.ops.resample import fft_resample
+    from speech_decoding_tpu.parallel.preproc_sharded import fft_resample_sharded
+
+    x = rng.normal(size=(16, 3000)).astype(np.float32)
+    dense = np.asarray(fft_resample(jnp.asarray(x), up=120.0, down=1000.0))
+    sharded = np.asarray(
+        fft_resample_sharded(jnp.asarray(x), 120.0, 1000.0, mesh)
+    )
+    np.testing.assert_allclose(sharded, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_channel_sharded_preproc_chain_matches_single_device(mesh, rng):
+    """Full band-pass -> resample chain, channel-sharded, == the unsharded
+    chain (the memory-scaling path for many recordings/channels)."""
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.ops.fir import bandpass_filter
+    from speech_decoding_tpu.ops.resample import fft_resample
+    from speech_decoding_tpu.parallel.preproc_sharded import (
+        bandpass_resample_sharded,
+    )
+
+    sfreq = 500.0
+    x = rng.normal(size=(8, 5000)).astype(np.float32)
+    dense = np.asarray(
+        fft_resample(
+            bandpass_filter(jnp.asarray(x), sfreq, 1.0, 60.0), up=120.0, down=sfreq
+        )
+    )
+    sharded = np.asarray(
+        bandpass_resample_sharded(jnp.asarray(x), sfreq, 1.0, 60.0, 120.0, mesh)
+    )
+    np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-5)
