@@ -104,9 +104,19 @@ def embed_waveform(
     if not last4layers:
         out = wav2vec.features(jnp.asarray(waveform)[None])  # (1, T', 512)
         return np.asarray(out)[0].T
+    # np.array_split yields at most TWO distinct chunk lengths (q+1 x r then
+    # q x (10-r)), so the reference's 10 sequential forwards batch into <= 2
+    # exact forwards (each output row is an independent per-sample compute;
+    # chunk boundaries — and the boundary artifact — are unchanged)
     bounds = np.array_split(np.arange(waveform.shape[-1]), 10)
-    outs = []
-    for idx in bounds:
-        chunk = jnp.asarray(waveform[idx[0] : idx[-1] + 1])[None]
-        outs.append(np.asarray(wav2vec.last4_mean(chunk))[0])  # (T', F)
+    sizes = [len(b) for b in bounds]
+    outs: list = [None] * len(bounds)
+    for size in sorted(set(sizes), reverse=True):
+        idxs = [i for i, s in enumerate(sizes) if s == size]
+        batch = jnp.asarray(
+            np.stack([waveform[bounds[i][0] : bounds[i][-1] + 1] for i in idxs])
+        )
+        emb = np.asarray(wav2vec.last4_mean(batch))  # (b, T', F)
+        for j, i in enumerate(idxs):
+            outs[i] = emb[j]
     return np.concatenate(outs, axis=0).T  # (F, T_emb)

@@ -98,11 +98,14 @@ def test_embed_waveform_last4_chunking():
 
     cfg, hf, variables = _tiny_pair()
     frozen = FrozenWav2Vec2(cfg, variables)
-    wav = np.random.default_rng(2).normal(size=4000).astype(np.float32)
+    # 4003 % 10 != 0: array_split yields two distinct chunk lengths
+    # (401 x 3, 400 x 7), exercising both batched-forward groups
+    n = 4003
+    wav = np.random.default_rng(2).normal(size=n).astype(np.float32)
 
     ours = embed_waveform(frozen, wav, last4layers=True)  # (F, T_emb)
 
-    chunks = np.array_split(np.arange(4000), 10)
+    chunks = np.array_split(np.arange(n), 10)
     refs = []
     with torch.no_grad():
         for idx in chunks:
