@@ -18,7 +18,10 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from speech_decoding_tpu.models.classifier import retrieval_metrics
+from speech_decoding_tpu.models.classifier import (
+    retrieval_accuracy_from_similarity,
+    retrieval_metrics,
+)
 from speech_decoding_tpu.models.loss import clip_loss
 from speech_decoding_tpu.ops.scaling import apply_scale_stats, gwilliams_collate
 from speech_decoding_tpu.training.state import TrainState
@@ -80,18 +83,27 @@ def _build_train_step(
                 rngs={"dropout": dropout_key},
             )
             new_stats = mutated["batch_stats"]
-        loss = clip_loss(batch["Y"], Z, params["clip"]["temp"][0], reduction)
-        return loss, (Z, new_stats)
+        logits, loss = clip_loss(
+            batch["Y"], Z, params["clip"]["temp"][0], reduction, return_logits=True
+        )
+        return loss, (logits, new_stats)
 
     def train_step(state: TrainState, batch: Batch, base_key: Array):
         # derive the per-step dropout key in-graph (no per-step host RNG ops;
         # deterministic given the base key and the step counter)
         dropout_key = jax.random.fold_in(base_key, state.step)
-        (loss, (Z, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, dropout_key
         )
         state = state.apply_gradients(grads).replace(batch_stats=new_stats)
-        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        # retrieval metrics reuse the loss logits: logits[i,j] = Ŷ_i·Ẑ_j·e^temp
+        # is the cosine similarity matrix in the reference's orientation
+        # [ref: models.py:226-233] up to the positive e^temp factor, and
+        # diagonal-rank accuracies are scale-invariant — no second pass over
+        # the (B, F·T) embeddings
+        top1, top10 = retrieval_accuracy_from_similarity(
+            jax.lax.stop_gradient(logits), ks=(1, 10)
+        )
         metrics = {
             "loss": loss,
             "top1": top1,
@@ -161,8 +173,11 @@ def make_train_forward_step(
             mutable=["batch_stats"],
             rngs={"dropout": dropout_key},
         )
-        loss = clip_loss(batch["Y"], Z, state.params["clip"]["temp"][0], reduction)
-        top1, top10 = retrieval_metrics(Z, batch["Y"], ks=(1, 10))
+        logits, loss = clip_loss(
+            batch["Y"], Z, state.params["clip"]["temp"][0], reduction,
+            return_logits=True,
+        )
+        top1, top10 = retrieval_accuracy_from_similarity(logits, ks=(1, 10))
         state = state.replace(batch_stats=mutated["batch_stats"])
         metrics = {
             "loss": loss,
