@@ -125,3 +125,60 @@ def test_offline_load_raises_informative_error():
 
     with pytest.raises(RuntimeError, match="local checkpoint"):
         load_wav2vec_model("nonexistent/model-name-xyz")
+
+
+def test_load_wav2vec_model_from_local_checkpoint(tmp_path):
+    """The REAL load path: transformers.from_pretrained on a saved checkpoint
+    directory -> params_from_torch -> FrozenWav2Vec2 -> embed. Uses a random
+    model with xlsr-53's exact architecture FLAGS (do_stable_layer_norm=True,
+    feat_extract_norm='layer', 7-layer conv extractor geometry) scaled down —
+    proving the flagship config's structure round-trips through the same code
+    that would load facebook/wav2vec2-large-xlsr-53 [ref: wav2vec_util.py:8-11,
+    config.yaml:30]."""
+    from speech_decoding_tpu.models.wav2vec_util import (
+        embed_waveform,
+        load_wav2vec_model,
+    )
+
+    hf_cfg = transformers.Wav2Vec2Config(
+        # xlsr-53 geometry (conv_dim scaled 512 -> 32, hidden 1024 -> 64)
+        conv_dim=[32] * 7,
+        conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+        conv_bias=True,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        hidden_size=64,
+        num_hidden_layers=6,
+        num_attention_heads=4,
+        intermediate_size=128,
+        num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(1)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+    ckpt_dir = str(tmp_path / "xlsr53-tiny")
+    hf.save_pretrained(ckpt_dir)
+
+    frozen = load_wav2vec_model(ckpt_dir)
+    wav = np.random.default_rng(5).normal(size=16000).astype(np.float32)
+    ours = embed_waveform(frozen, wav, last4layers=True)  # (hidden, T_emb)
+    assert ours.shape[0] == 64
+
+    chunks = np.array_split(np.arange(16000), 10)
+    refs = []
+    with torch.no_grad():
+        for idx in chunks:
+            out = hf(
+                torch.from_numpy(wav[idx][None]), output_hidden_states=True
+            ).hidden_states[-4:]
+            refs.append(torch.stack(out).mean(0)[0])
+    ref = torch.vstack(refs).T.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
