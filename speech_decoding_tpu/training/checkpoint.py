@@ -18,7 +18,21 @@ from speech_decoding_tpu.utils.logging import cprint
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3, every_epochs: int = 1):
+    """Rolling ``keep`` latest checkpoints (resume always uses the latest)
+    plus, when ``track_metric`` is set, an independent best-model checkpoint
+    under the sibling ``<dir>-best/`` keyed on that metric (e.g.
+    "testTop10acc") — the reference only ever overwrites ``model_last.pt``
+    [ref: train.py:259]. (A sibling, not a subdir: orbax scans the root for
+    numeric step directories.)"""
+
+    def __init__(
+        self,
+        directory: str,
+        keep: int = 3,
+        every_epochs: int = 1,
+        track_metric: Optional[str] = None,
+        track_mode: str = "max",
+    ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.every_epochs = max(1, int(every_epochs))
@@ -26,38 +40,69 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
+        self.track_metric = track_metric
+        self._best_mgr = None
+        if track_metric:
+            sign = 1.0 if track_mode == "max" else -1.0
+            self._best_mgr = ocp.CheckpointManager(
+                self.directory.rstrip("/") + "-best",
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    create=True,
+                    best_fn=lambda m: sign * m[track_metric],
+                    best_mode="max",
+                ),
+            )
 
-    def save(self, epoch: int, state: TrainState, extra: Optional[Dict] = None) -> None:
-        """``extra`` is accepted for API stability but the orbax step number
-        already records the epoch."""
-        if epoch % self.every_epochs:
-            return
-        payload = {
+    @staticmethod
+    def _payload(state: TrainState) -> Dict:
+        return {
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
-        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+
+    def save(self, epoch: int, state: TrainState, extra: Optional[Dict] = None) -> None:
+        """``extra``: epoch metrics dict; feeds best-model tracking when
+        ``track_metric`` is configured."""
+        if self._best_mgr is not None and extra and self.track_metric in extra:
+            self._best_mgr.save(
+                epoch,
+                args=ocp.args.StandardSave(self._payload(state)),
+                metrics={self.track_metric: float(extra[self.track_metric])},
+            )
+        if epoch % self.every_epochs:
+            return
+        self._mgr.save(epoch, args=ocp.args.StandardSave(self._payload(state)))
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
+
+    def best_epoch(self) -> Optional[int]:
+        return self._best_mgr.best_step() if self._best_mgr else None
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState, epoch: Optional[int] = None) -> Tuple[TrainState, int]:
-        """Restore into the structure of ``state``; returns (state, epoch)."""
-        epoch = self.latest_epoch() if epoch is None else epoch
+    def restore(
+        self,
+        state: TrainState,
+        epoch: Optional[int] = None,
+        best: bool = False,
+    ) -> Tuple[TrainState, int]:
+        """Restore into the structure of ``state``; returns (state, epoch).
+        ``best=True`` restores the tracked best-metric checkpoint instead of
+        the latest (serving / final-eval use)."""
+        mgr = self._best_mgr if best else self._mgr
+        assert mgr is not None, "best-model tracking not configured"
+        if epoch is None:
+            epoch = mgr.best_step() if best else self.latest_epoch()
         assert epoch is not None, "no checkpoint to restore"
-        template = {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
-        restored = self._mgr.restore(
-            epoch, args=ocp.args.StandardRestore(template)
+        restored = mgr.restore(
+            epoch, args=ocp.args.StandardRestore(self._payload(state))
         )
         new_state = state.replace(
             step=restored["step"],

@@ -336,5 +336,5 @@ class Trainer:
             # multi-host: state is fully replicated — the primary snapshots its
             # local copy to host and saves alone (no cross-host orbax barrier)
             st = jax.device_get(self.state) if self.multihost else self.state
-            self.checkpoints.save(epoch, st)
+            self.checkpoints.save(epoch, st, extra=out)
         return out

@@ -94,6 +94,42 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(pr), np.asarray(p0))
 
 
+def test_checkpoint_best_tracking(tmp_path):
+    """track_metric keeps the best-metric checkpoint independently of the
+    rolling latest (restore(best=True) returns the peak epoch's state)."""
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.models import BrainEncoder
+    from speech_decoding_tpu.training import create_train_state
+    from speech_decoding_tpu.training.checkpoint import CheckpointManager
+
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=8, D2=8, F=8, K=2)
+    X = jnp.zeros((2, 208, 24))
+    sidx = jnp.zeros((2,), jnp.int32)
+    state = create_train_state(enc, jax.random.PRNGKey(0), X, sidx)
+
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), keep=2, track_metric="testTop10acc"
+    )
+    for epoch, acc in enumerate([0.2, 0.7, 0.4]):  # peak at epoch 1
+        mgr.save(
+            epoch,
+            state.replace(step=state.step + epoch),
+            extra={"testTop10acc": acc},
+        )
+    mgr.wait()
+    assert mgr.latest_epoch() == 2
+    assert mgr.best_epoch() == 1
+
+    blank = create_train_state(enc, jax.random.PRNGKey(1), X, sidx)
+    restored, epoch = mgr.restore(blank, best=True)
+    assert epoch == 1 and int(restored.step) == 1
+    latest, epoch = mgr.restore(blank)
+    assert epoch == 2 and int(latest.step) == 2
+
+
 def test_step_timer():
     t = StepTimer()
     for _ in range(5):

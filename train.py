@@ -234,6 +234,10 @@ def run(args) -> None:
             ckpt_dir,
             keep=int(args.select("checkpoint.keep", 3)),
             every_epochs=int(args.select("checkpoint.every_epochs", 1)),
+            # best-model tracking (checkpoint.track_metric="" disables)
+            track_metric=args.select("checkpoint.track_metric", "testTop10acc")
+            or None,
+            track_mode=str(args.select("checkpoint.track_mode", "max")),
         )
     trainer = Trainer(
         encoder,
