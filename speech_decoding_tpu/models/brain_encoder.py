@@ -392,7 +392,13 @@ class BrainEncoder(nn.Module):
         X: Array,
         subject_idxs: Array,
         train: bool = False,
+        subject_only: bool = False,
     ) -> Array:
+        """``subject_only=True`` stops after the SubjectBlock and returns the
+        (B, T, D1) internal features — used by the fused train path
+        (models/fused_train.py) so its spatial-dropout RNG stream (flax folds
+        the module path into make_rng) is bit-identical to the full flax
+        forward."""
         # reference layout in: (B, C, T) -> internal (B, T, C)
         if not self.channels_last_io:
             X = jnp.swapaxes(X, -1, -2)
@@ -408,6 +414,8 @@ class BrainEncoder(nn.Module):
             self.use_pallas,
             name="subject_block",
         )(X, subject_idxs, deterministic=not train)
+        if subject_only:
+            return X
 
         block_cls = ConvBlock
         if self.remat:

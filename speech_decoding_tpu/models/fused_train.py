@@ -13,10 +13,9 @@ the serving path in inference.py. Replicates, in order
   (momentum 0.1, unbiased variance) that encoder.apply performs through the
   mutable "batch_stats" collection.
 
-One deliberate divergence: the spatial-dropout PRNG here is keyed on the raw
-dropout key (the flax path folds in the module path), so the drop CENTER for
-a given key differs from encoder.apply — both are valid draws of the same
-distribution; tests pin d_drop=0 for exact parity.
+The SubjectBlock (including train-time spatial dropout) runs through
+encoder.apply(subject_only=True), so parameters AND the path-folded flax
+"dropout" RNG stream are bit-identical to the full flax forward.
 """
 
 from __future__ import annotations
@@ -26,7 +25,6 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from speech_decoding_tpu.models.brain_encoder import SubjectBlock
 from speech_decoding_tpu.ops.pallas.conv_block_train import conv_block_train
 
 Array = jax.Array
@@ -67,24 +65,15 @@ def fused_train_forward(
     encoder.apply(..., train=True, mutable=["batch_stats"])."""
     dt = encoder.compute_dtype
 
-    if not encoder.channels_last_io:
-        X = jnp.swapaxes(X, -1, -2)
-    X = X.astype(dt)
-
-    sb = SubjectBlock(
-        encoder.num_subjects,
-        encoder.D1,
-        encoder.K,
-        encoder.d_drop,
-        encoder.loc,
-        dt,
-        encoder.use_pallas,
-    )
-    h = sb.apply(
-        {"params": params["subject_block"]},
+    # subject_only routes through the encoder's own module scope: identical
+    # params AND the identical flax "dropout" RNG stream (path-folded), so
+    # the spatial-dropout draw matches encoder.apply bit-for-bit
+    h = encoder.apply(
+        {"params": params},
         X,
         subject_idxs,
-        False,
+        True,
+        True,
         rngs={"dropout": dropout_key},
     )
 

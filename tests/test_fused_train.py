@@ -64,19 +64,34 @@ class TestFusedTrainForward:
                         err_msg=f"{blk}/{bn}/{leaf}",
                     )
 
-    def test_spatial_dropout_active(self):
-        """Nonzero d_drop must change the output for some key (the mask is
-        drawn from the raw key here, a documented divergence from the flax
-        path-folded stream)."""
+    def test_spatial_dropout_matches_flax_exactly(self):
+        """Nonzero d_drop: the fused path draws the SAME drop center as
+        encoder.apply (the SubjectBlock runs through the encoder scope, so
+        the path-folded dropout RNG stream is identical)."""
         enc, variables, X, sidx = _setup(d_drop=0.7)
-        outs = []
         for s in (0, 1, 2):
+            key = jax.random.PRNGKey(s)
+            Z_ref, _ = _flax_forward(enc, variables, X, sidx, key)
             Z, _ = fused_train_forward(
                 enc, variables["params"], variables["batch_stats"], X, sidx,
-                jax.random.PRNGKey(s), interpret=True,
+                key, interpret=True,
             )
-            outs.append(np.asarray(Z))
-        assert any(not np.allclose(outs[0], o) for o in outs[1:])
+            # dropout skews the activation distribution, amplifying the
+            # fp-reassociation noise between the kernel row loop and XLA's
+            # reduces — a wrong drop CENTER would diverge at O(1)
+            np.testing.assert_allclose(
+                np.asarray(Z), np.asarray(Z_ref), rtol=1e-3, atol=1e-4
+            )
+        # and different keys still give different masks
+        Z0, _ = fused_train_forward(
+            enc, variables["params"], variables["batch_stats"], X, sidx,
+            jax.random.PRNGKey(0), interpret=True,
+        )
+        Z1, _ = fused_train_forward(
+            enc, variables["params"], variables["batch_stats"], X, sidx,
+            jax.random.PRNGKey(1), interpret=True,
+        )
+        assert not np.allclose(np.asarray(Z0), np.asarray(Z1))
 
 
 class TestFusedTrainGrads:
