@@ -39,6 +39,9 @@ def main():
     cfg.set_path("gwilliams.num_subjects", 2)
     cfg.set_path("gwilliams.num_sessions", 2)
     cfg.set_path("gwilliams.num_tasks", 2)
+    # pin the checkpoint dir (the default is a fresh timestamped run dir
+    # under outputs/, which the serving step below couldn't predict)
+    cfg.set_path("checkpoint.dir", "checkpoints")
 
     # build caches with the tiny wav2vec (a real run loads
     # facebook/wav2vec2-large-xlsr-53 instead)

@@ -423,3 +423,48 @@ class TestPrecomputedScaleStats:
         stats = window_scale_stats(jnp.asarray(X))
         fast = np.asarray(apply_scale_stats(jnp.asarray(X), stats, 20.0, True))
         np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestDSPFuzz:
+    """Property fuzz over the DSP parity surface: random rates/bands/shapes
+    against the independent numpy/scipy twins."""
+
+    def test_fuzz_resample_rates(self, rng):
+        from speech_decoding_tpu.ops.resample import fft_resample
+
+        local = np.random.default_rng(42)
+        x = rng.normal(size=(2, 1777)).astype(np.float64)
+        for _ in range(8):
+            up = float(local.uniform(0.3, 4.0))
+            down = float(local.uniform(0.3, 4.0))
+            ours = np.asarray(fft_resample(jnp.asarray(x), up=up, down=down))
+            theirs = TestFFTResample._numpy_twin(x, up, down)
+            assert ours.shape == theirs.shape, (up, down)
+            np.testing.assert_allclose(
+                ours, theirs, rtol=2e-3, atol=2e-4, err_msg=f"up={up} down={down}"
+            )
+
+    def test_fuzz_bandpass_response(self):
+        """Random band edges: -6 dB at each transition-band center, unity in
+        the passband midpoint, attenuation in the stop bands."""
+        local = np.random.default_rng(7)
+        for _ in range(6):
+            sfreq = float(local.choice([250.0, 500.0, 1000.0]))
+            l_freq = float(local.uniform(0.5, 5.0))
+            h_freq = float(local.uniform(30.0, sfreq / 2 - 40.0))
+            taps = design_bandpass_fir(sfreq, l_freq, h_freq)
+            w, h = scipy.signal.freqz(taps, worN=32768, fs=sfreq)
+            mag = np.abs(h)
+
+            def at(f):
+                return mag[np.argmin(np.abs(w - f))]
+
+            l_trans = min(max(0.25 * l_freq, 2.0), l_freq)
+            h_trans = min(max(0.25 * h_freq, 2.0), sfreq / 2 - h_freq)
+            mid = np.sqrt(l_freq * h_freq)
+            case = f"sfreq={sfreq} l={l_freq:.2f} h={h_freq:.1f}"
+            assert abs(at(mid) - 1.0) < 0.02, case
+            assert abs(at(l_freq - l_trans / 2) - 0.5) < 0.06, case
+            assert abs(at(h_freq + h_trans / 2) - 0.5) < 0.06, case
+            assert at(max(l_freq - 2 * l_trans, w[1])) < 0.12, case
+            assert at(min(h_freq + 2 * h_trans, sfreq / 2 - 1)) < 0.12, case
