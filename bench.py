@@ -113,31 +113,31 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0) -> dict:
     _log(f"host->device link: {h2d_mbps:.0f} MB/s")
 
     rec_len = int(rec_secs * 1000)
-    tree = tempfile.mkdtemp(prefix="bench_preproc_e2e_")
     rng = np.random.default_rng(1)
-    for i in range(n_rec):
-        np.save(
-            os.path.join(tree, f"rec{i:03d}.npy"),
-            rng.standard_normal((208, rec_len)).astype(np.float32),
-        )
-    _log(f"e2e tree: {n_rec} x (208, {rec_len}) f32 on disk")
+    # TemporaryDirectory: the ~240 MB tree is removed even if a run fails
+    with tempfile.TemporaryDirectory(prefix="bench_preproc_e2e_") as tree:
+        for i in range(n_rec):
+            np.save(
+                os.path.join(tree, f"rec{i:03d}.npy"),
+                rng.standard_normal((208, rec_len)).astype(np.float32),
+            )
+        _log(f"e2e tree: {n_rec} x (208, {rec_len}) f32 on disk")
 
-    def run_once():
-        recs = [np.load(os.path.join(tree, f"rec{i:03d}.npy")) for i in range(n_rec)]
-        outs = preprocess_batch(recs, 1000.0, 1.0, 60.0, 120.0, microbatch=2)
-        assert len(outs) == n_rec and outs[0].shape[0] == 208
-        return outs
+        def run_once():
+            recs = [
+                np.load(os.path.join(tree, f"rec{i:03d}.npy")) for i in range(n_rec)
+            ]
+            outs = preprocess_batch(recs, 1000.0, 1.0, 60.0, 120.0, microbatch=2)
+            assert len(outs) == n_rec and outs[0].shape[0] == 208
+            return outs
 
-    run_once()  # compile (same shapes -> same jit key as the timed run)
-    _log("e2e timed run (disk -> host -> device -> host)")
-    t0 = time.perf_counter()
-    run_once()
-    dt = time.perf_counter() - t0
+        run_once()  # compile (same shapes -> same jit key as the timed run)
+        _log("e2e timed run (disk -> host -> device -> host)")
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
     rate = n_rec * rec_secs / dt
     _log(f"preproc e2e: {n_rec} recordings ({n_rec * rec_secs:.0f} MEG-s) in {dt:.2f}s -> {rate:.1f} MEG-s/s")
-    for i in range(n_rec):
-        os.unlink(os.path.join(tree, f"rec{i:03d}.npy"))
-    os.rmdir(tree)
     return {"preproc_e2e_rate": round(rate, 2), "h2d_link_mbps": round(h2d_mbps, 1)}
 
 

@@ -36,13 +36,24 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.every_epochs = max(1, int(every_epochs))
+        # distinct barrier prefixes: under jax.distributed the two managers'
+        # async-commit barriers would otherwise collide on the same key
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                create=True,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="latest"
+                ),
+            ),
         )
         self.track_metric = track_metric
         self._best_mgr = None
         if track_metric:
+            assert track_mode in ("max", "min"), (
+                f"checkpoint.track_mode must be 'max' or 'min', got {track_mode!r}"
+            )
             sign = 1.0 if track_mode == "max" else -1.0
             self._best_mgr = ocp.CheckpointManager(
                 self.directory.rstrip("/") + "-best",
@@ -51,6 +62,9 @@ class CheckpointManager:
                     create=True,
                     best_fn=lambda m: sign * m[track_metric],
                     best_mode="max",
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        barrier_sync_key_prefix="best"
+                    ),
                 ),
             )
 

@@ -97,6 +97,19 @@ class Trainer:
         # parity with the XLA stack on v5e at B=64 (see TODO.md), so the
         # default stays XLA until the fused path wins outright
         fused = bool(args.select("tpu.fused_train_blocks", False))
+        if fused and jax.default_backend() != "tpu":
+            # off-TPU the kernels would run in the Pallas INTERPRETER inside
+            # every step — orders of magnitude slower than XLA
+            cprint("tpu.fused_train_blocks ignored off-TPU (XLA path used)", "yellow")
+            fused = False
+        if fused and len(jax.devices()) > 1:
+            # no GSPMD partitioning rule is wired for the custom-VJP kernels;
+            # sharded batches would be gathered around every pallas_call
+            cprint(
+                "tpu.fused_train_blocks ignored on a multi-device mesh "
+                "(no SPMD partitioning for the fused kernels yet)", "yellow",
+            )
+            fused = False
         self.train_step = make_train_step(
             encoder, args.reduction, collate, donate=True, fused_blocks=bool(fused)
         )
@@ -332,9 +345,12 @@ class Trainer:
             )
         self.logger.log(out)
         self.history.append(out)
-        if self.checkpoints and self.is_primary:
-            # multi-host: state is fully replicated — the primary snapshots its
-            # local copy to host and saves alone (no cross-host orbax barrier)
+        if self.checkpoints:
+            # multi-host: orbax's save/restore is a cross-process barrier, so
+            # EVERY host participates (train.py guarantees either all hosts
+            # have a manager — explicit shared checkpoint.dir — or none);
+            # each passes its host snapshot of the fully-replicated state and
+            # orbax's primary host writes
             st = jax.device_get(self.state) if self.multihost else self.state
             self.checkpoints.save(epoch, st, extra=out)
         return out

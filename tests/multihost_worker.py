@@ -55,6 +55,7 @@ def make_args():
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
     # force a clean 2-device CPU backend regardless of inherited env
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = [
@@ -87,9 +88,18 @@ def main() -> None:
     local_train = [{k: v[sl] for k, v in b.items()} for b in train]
 
     enc = make_encoder()
-    trainer = Trainer(enc, make_args(), local_train[0])
+    ckpts = None
+    if ckpt_dir:
+        # symmetric multi-host checkpointing: EVERY process constructs the
+        # manager and calls save (orbax save is a cross-process barrier)
+        from speech_decoding_tpu.training.checkpoint import CheckpointManager
+
+        ckpts = CheckpointManager(ckpt_dir, keep=2, track_metric="testTop10acc")
+    trainer = Trainer(enc, make_args(), local_train[0], checkpoints=ckpts)
     assert trainer.multihost
     out = trainer.run_epoch(0, iter(local_train), test)
+    if ckpts is not None:
+        ckpts.wait()
     print(
         "RESULT "
         + json.dumps(

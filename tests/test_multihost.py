@@ -28,7 +28,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(nproc: int = 2, timeout: int = 600):
+def _run_workers(nproc: int = 2, timeout: int = 600, ckpt_dir: str = None):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -40,7 +40,8 @@ def _run_workers(nproc: int = 2, timeout: int = 600):
                 str(i),
                 str(nproc),
                 str(port),
-            ],
+            ]
+            + ([ckpt_dir] if ckpt_dir else []),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -92,3 +93,34 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(r0["test_loss"], out["test_loss"], rtol=2e-4)
     np.testing.assert_allclose(r0["temp"], out["temp"], rtol=2e-4)
     np.testing.assert_allclose(r0["testTop10acc"], out["testTop10acc"], atol=1e-9)
+
+
+def test_two_process_symmetric_checkpointing(tmp_path):
+    """Every process participates in the orbax save (cross-process barrier);
+    the written checkpoint restores in a plain single-process context."""
+    ckpt_dir = str(tmp_path / "shared_ckpts")
+    results = _run_workers(2, ckpt_dir=ckpt_dir)
+    assert set(results) == {0, 1}
+
+    import jax
+    from tests.multihost_worker import make_args, make_batches, make_encoder
+    from speech_decoding_tpu.training.checkpoint import CheckpointManager
+    from speech_decoding_tpu.training.state import create_train_state
+
+    *train, _ = make_batches()
+    enc = make_encoder()
+    state = create_train_state(
+        enc,
+        jax.random.PRNGKey(0),
+        train[0]["X"],
+        train[0]["subject_idxs"],
+        init_temperature=5.1,
+        lr=1e-3,
+    )
+    mgr = CheckpointManager(ckpt_dir, track_metric="testTop10acc")
+    assert mgr.latest_epoch() == 0
+    assert mgr.best_epoch() == 0
+    restored, epoch = mgr.restore(state)
+    assert epoch == 0
+    # two train batches ran -> optimizer stepped twice
+    assert int(restored.step) == 2

@@ -13,7 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench(fused: bool, batch_size: int = 64, n_steps: int = 100) -> float:
+def build_step(fused: bool, batch_size: int = 64):
+    """The flagship train-step setup (bf16, GEMM convs, channels-last,
+    precomputed collate stats) — shared by this A/B bench and
+    tools/trace_summary.py so both always measure the same model."""
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +47,13 @@ def bench(fused: bool, batch_size: int = 64, n_steps: int = 100) -> float:
         "precomputed": True, "channels_last": True,
     }
     step = make_train_step(enc, collate=collate, donate=True, fused_blocks=fused)
+    return step, state, batch
+
+
+def bench(fused: bool, batch_size: int = 64, n_steps: int = 100) -> float:
+    import jax
+
+    step, state, batch = build_step(fused, batch_size)
     base_key = jax.random.PRNGKey(7)
 
     for _ in range(3):

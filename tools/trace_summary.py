@@ -19,35 +19,9 @@ os.environ.setdefault(
 )
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
-def build_step(fused: bool, B: int):
-    from speech_decoding_tpu.data.layout import ch_locations_2d
-    from speech_decoding_tpu.models import BrainEncoder
-    from speech_decoding_tpu.ops.scaling import window_scale_stats
-    from speech_decoding_tpu.training import create_train_state, make_train_step
-
-    loc = ch_locations_2d("Gwilliams2022", cache=False)
-    enc = BrainEncoder(
-        num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
-        compute_dtype=jnp.bfloat16, conv_impl="gemm",
-        use_pallas=jax.default_backend() == "tpu",
-        channels_last_io=True,
-    )
-    X = jax.random.normal(jax.random.PRNGKey(0), (B, 360, 208))
-    Y = jax.random.normal(jax.random.PRNGKey(1), (B, 360, 1024))
-    sidx = jnp.zeros((B,), jnp.int32)
-    batch = {
-        "X": X, "Y": Y, "subject_idxs": sidx,
-        "scale_stats": window_scale_stats(jnp.swapaxes(X, 1, 2)),
-    }
-    state = create_train_state(enc, jax.random.PRNGKey(2), X, sidx)
-    col = {"baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
-           "precomputed": True, "channels_last": True}
-    step = make_train_step(enc, collate=col, donate=True, fused_blocks=fused)
-    return step, state, batch
+from tools.bench_fused_train import build_step  # single flagship-step definition
 
 
 def summarize(trace_dir: str, n_steps: int, top_n: int = 25):

@@ -87,6 +87,13 @@ def run(args) -> None:
         if args.get("reproducible", True)
         else int.from_bytes(os.urandom(4), "little")
     )
+    if multihost:
+        # every multi-host invariant (identical param init, identical global
+        # batch ids with per-host blocks) relies on a SHARED seed — broadcast
+        # process 0's draw so reproducible=False stays safe
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(np.int64(seed)))
     seed_everything(seed)
     rng = np.random.default_rng(seed)
     cprint(f"Devices: {jax.devices()}", "cyan")
@@ -202,12 +209,20 @@ def run(args) -> None:
     # resolved config snapshot and checkpoints inside
     ckpt_dir = args.select("checkpoint.dir", None)
     run_dir = args.select("run_dir", None)
-    if multihost and not is_primary:
-        # non-primary hosts never create timestamped run dirs (clock skew
-        # would diverge); an EXPLICIT checkpoint.dir (required for multi-host
-        # resume, on a shared filesystem) is kept for restore — the Trainer
-        # writes checkpoints only from the primary
-        run_dir = None
+    if multihost:
+        # multi-host checkpointing must be SYMMETRIC: orbax save/restore
+        # barrier across all processes, so either every host has a manager
+        # (explicit checkpoint.dir on a shared filesystem) or none does.
+        # Timestamped per-host run dirs would diverge (clock skew), so only
+        # the primary writes the run-dir config snapshot.
+        if ckpt_dir is None and is_primary:
+            cprint(
+                "multi-host run without checkpoint.dir — checkpointing "
+                "DISABLED (set checkpoint.dir on a shared filesystem)",
+                "yellow",
+            )
+        if not is_primary:
+            run_dir = None
     elif run_dir is None and ckpt_dir is None:
         from datetime import datetime
 
@@ -224,8 +239,10 @@ def run(args) -> None:
         with open(os.path.join(run_dir, "config.yaml"), "w") as f:
             yaml.safe_dump(args.to_dict(), f, default_flow_style=False)
         cprint(f"Run dir: {run_dir}", "cyan")
-        if ckpt_dir is None:
-            ckpt_dir = os.path.join(run_dir, "checkpoints")
+        if ckpt_dir is None and not multihost:
+            # absolute: run_dir already includes root_dir — re-joining below
+            # would double a relative prefix
+            ckpt_dir = os.path.abspath(os.path.join(run_dir, "checkpoints"))
     ckpts = None
     if ckpt_dir is not None:
         if not os.path.isabs(ckpt_dir):
