@@ -60,9 +60,14 @@ def fused_train_forward(
     subject_idxs: Array,
     dropout_key: Array,
     interpret: bool = False,
+    axis_name: str = None,
 ) -> Tuple[Array, Dict]:
     """Returns (Z, new_batch_stats) — the (Z, mutated["batch_stats"]) pair of
-    encoder.apply(..., train=True, mutable=["batch_stats"])."""
+    encoder.apply(..., train=True, mutable=["batch_stats"]).
+
+    ``axis_name``: set when called per-shard inside shard_map with the batch
+    sharded over that axis — BN statistics synchronize across shards
+    (see conv_block_train)."""
     dt = encoder.compute_dtype
 
     # subject_only routes through the encoder's own module scope: identical
@@ -78,6 +83,8 @@ def fused_train_forward(
     )
 
     n = h.shape[0] * h.shape[1]
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
     new_stats: Dict[str, Any] = {}
     for k in range(5):
         p = params[f"conv{k}"]
@@ -91,6 +98,7 @@ def fused_train_forward(
             k,
             _BN_EPS,
             interpret,
+            axis_name,
         )
         st = batch_stats[f"conv{k}"]
         new_stats[f"conv{k}"] = {
@@ -103,3 +111,41 @@ def fused_train_forward(
     if not encoder.channels_last_io:
         h = jnp.swapaxes(h, -1, -2)
     return h, new_stats
+
+
+def fused_train_forward_sharded(
+    encoder,
+    params: Dict,
+    batch_stats: Dict,
+    X: Array,
+    subject_idxs: Array,
+    dropout_key: Array,
+    mesh,
+    interpret: bool = False,
+) -> Tuple[Array, Dict]:
+    """Data-parallel fused forward: batch sharded over the mesh "data" axis,
+    params/stats replicated, BN statistics psummed across shards inside the
+    custom VJP (synchronized BN — numerically the single-device op on the
+    global batch, like the XLA path under GSPMD). Z comes back sharded; the
+    new batch stats replicated."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from speech_decoding_tpu.parallel.mesh import DATA_AXIS
+
+    x_spec = P(DATA_AXIS, None, None)
+
+    def local(params, batch_stats, X, subject_idxs, dropout_key):
+        return fused_train_forward(
+            encoder, params, batch_stats, X, subject_idxs, dropout_key,
+            interpret=interpret, axis_name=DATA_AXIS,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), x_spec, P(DATA_AXIS), P()),
+        out_specs=(x_spec, P()),
+        check_vma=False,
+    )
+    return fn(params, batch_stats, X, subject_idxs, dropout_key)

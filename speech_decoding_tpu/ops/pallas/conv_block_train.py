@@ -295,7 +295,7 @@ def _stats_from_sums(s: Array, n: int, eps: float = 1e-5):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14)
 )
 def conv_block_train(
     x: Array,
@@ -305,6 +305,7 @@ def conv_block_train(
     k: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    axis_name=None,
 ):
     """Train-mode ConvBlock k [ref: models.py:120-166], fully fused.
 
@@ -315,19 +316,32 @@ def conv_block_train(
     running-stat update (unbiased var, momentum) exactly like TorchBatchNorm.
     The stats outputs are aux (their cotangents are ignored — running-stat
     updates are not differentiated, matching the mutable-collection path).
+
+    ``axis_name``: inside shard_map with the batch sharded over that axis,
+    the BN statistic sums (forward) and BN-backward correction sums psum
+    across shards — synchronized BatchNorm, numerically matching the
+    single-device op on the global batch. Per-shard weight cotangents are
+    left partial: shard_map's transpose psums cotangents of replicated
+    (P()) inputs itself.
     """
     out, _, _, _, _, _, _, m0, v0, m1, v1 = _fwd_impl(
-        x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret
+        x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret,
+        axis_name,
     )
     return out, (m0, v0, m1, v1)
 
 
-def _fwd_impl(x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret):
+def _fwd_impl(
+    x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret,
+    axis_name=None,
+):
     B, T, Cin = x.shape
     C = w1.shape[-1]
     d0 = 2 ** ((2 * k) % 5)
     d1 = 2 ** ((2 * k + 1) % 5)
     n = B * T
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
     dt = x.dtype
     R = _pick_rows(B)
     grid = (B // R,)
@@ -343,6 +357,8 @@ def _fwd_impl(x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret
         ],
         interpret=interpret,
     )(x, w0.astype(dt), b0.reshape(1, -1))
+    if axis_name is not None:
+        s0 = jax.lax.psum(s0, axis_name)
     m0, v0, inv0 = _stats_from_sums(s0, n, eps)
     mi0 = jnp.stack([m0, inv0])
     gb0 = jnp.stack([g0, beta0]).astype(jnp.float32)
@@ -359,6 +375,8 @@ def _fwd_impl(x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret
         ],
         interpret=interpret,
     )(y0, mi0, gb0, w1.astype(dt), b1.reshape(1, -1))
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
     m1, v1, inv1 = _stats_from_sums(s1, n, eps)
     mi1 = jnp.stack([m1, inv1])
     gb1 = jnp.stack([g1, beta1]).astype(jnp.float32)
@@ -376,15 +394,19 @@ def _fwd_impl(x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret
     return out, y0, y1, mi0, gb0, mi1, gb1, m0, v0, m1, v1
 
 
-def _fwd_rule(x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret):
+def _fwd_rule(
+    x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret,
+    axis_name=None,
+):
     out, y0, y1, mi0, gb0, mi1, gb1, m0, v0, m1, v1 = _fwd_impl(
-        x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret
+        x, w0, b0, g0, beta0, w1, b1, g1, beta1, w2, b2, k, eps, interpret,
+        axis_name,
     )
     res = (x, y0, y1, mi0, gb0, mi1, gb1, w0, w1, w2, b2, g0, g1)
     return (out, (m0, v0, m1, v1)), res
 
 
-def _bwd_rule(k, eps, interpret, res, grads):
+def _bwd_rule(k, eps, interpret, axis_name, res, grads):
     dout, _ = grads  # stats cotangents are zeros (aux outputs), ignored
     x, y0, y1, mi0, gb0, mi1, gb1, w0, w1, w2, b2, g0, g1 = res
     B, T, Cin = x.shape
@@ -392,6 +414,8 @@ def _bwd_rule(k, eps, interpret, res, grads):
     d0 = 2 ** ((2 * k) % 5)
     d1 = 2 ** ((2 * k + 1) % 5)
     n = B * T
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
     dt = x.dtype
     R = _pick_rows(B)
     grid = (B // R,)
@@ -410,9 +434,13 @@ def _bwd_rule(k, eps, interpret, res, grads):
         ],
         interpret=interpret,
     )(dout, y1, mi1, gb1, w2.astype(dt), b2.reshape(1, -1), _flip_t(w2).astype(dt))
-    # BN1 grads and backward correction terms (all O(C) XLA vector math)
+    # BN1 grads and backward correction terms (all O(C) XLA vector math);
+    # dg/dbeta stay per-shard partial sums (shard_map transposes replicated
+    # params with a psum), the c's need the GLOBAL sums
     dg1 = s_bn1[1]
     dbeta1 = s_bn1[0]
+    if axis_name is not None:
+        s_bn1 = jax.lax.psum(s_bn1, axis_name)
     g1f = g1.astype(jnp.float32)
     c1_1 = g1f * s_bn1[0] / n
     c2_1 = g1f * s_bn1[1] / n
@@ -434,6 +462,8 @@ def _bwd_rule(k, eps, interpret, res, grads):
     )(du1, y1, mi1, g1c, y0, mi0, gb0, _flip_t(w1).astype(dt))
     dg0 = s_bn0[1]
     dbeta0 = s_bn0[0]
+    if axis_name is not None:
+        s_bn0 = jax.lax.psum(s_bn0, axis_name)
     g0f = g0.astype(jnp.float32)
     c1_0 = g0f * s_bn0[0] / n
     c2_0 = g0f * s_bn0[1] / n

@@ -57,22 +57,36 @@ def _build_train_step(
     reduction: str = "mean",
     collate: Optional[Dict] = None,
     fused_blocks: bool = False,
+    fused_mesh=None,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """The un-jitted single train step (shared by the jitted single-step and
     the lax.scan multi-step wrappers). ``fused_blocks`` routes the ConvBlock
     stack through the fused Pallas train kernels (custom VJP) instead of the
-    flax/XLA path — same math, same param/stat trees (models/fused_train)."""
+    flax/XLA path — same math, same param/stat trees (models/fused_train).
+    On a >1-device mesh pass ``fused_mesh``: the fused forward runs under
+    shard_map with synchronized (psummed) BN statistics."""
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         X = _maybe_collate(batch, collate)
         if fused_blocks:
-            from speech_decoding_tpu.models.fused_train import fused_train_forward
-
-            Z, new_stats = fused_train_forward(
-                encoder, params["encoder"], batch_stats, X,
-                batch["subject_idxs"], dropout_key,
-                interpret=jax.default_backend() != "tpu",
+            from speech_decoding_tpu.models.fused_train import (
+                fused_train_forward,
+                fused_train_forward_sharded,
             )
+
+            interp = jax.default_backend() != "tpu"
+            if fused_mesh is not None:
+                Z, new_stats = fused_train_forward_sharded(
+                    encoder, params["encoder"], batch_stats, X,
+                    batch["subject_idxs"], dropout_key, fused_mesh,
+                    interpret=interp,
+                )
+            else:
+                Z, new_stats = fused_train_forward(
+                    encoder, params["encoder"], batch_stats, X,
+                    batch["subject_idxs"], dropout_key,
+                    interpret=interp,
+                )
         else:
             Z, mutated = encoder.apply(
                 {"params": params["encoder"], "batch_stats": batch_stats},
@@ -121,9 +135,12 @@ def make_train_step(
     collate: Optional[Dict] = None,
     donate: bool = True,
     fused_blocks: bool = False,
+    fused_mesh=None,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jitted train step for a given encoder/config."""
-    train_step = _build_train_step(encoder, reduction, collate, fused_blocks)
+    train_step = _build_train_step(
+        encoder, reduction, collate, fused_blocks, fused_mesh
+    )
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -133,13 +150,16 @@ def make_train_step_scan(
     collate: Optional[Dict] = None,
     donate: bool = True,
     fused_blocks: bool = False,
+    fused_mesh=None,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Multi-step train: one dispatch runs ``k`` optimizer steps via lax.scan
     over a stacked batch (leading axis k on every array). Amortizes dispatch
     latency (critical on remote/tunneled devices, still a win locally) while
     keeping semantics identical to k calls of the single step. Returns
     (state, metrics-with-leading-k-axis)."""
-    single = _build_train_step(encoder, reduction, collate, fused_blocks)
+    single = _build_train_step(
+        encoder, reduction, collate, fused_blocks, fused_mesh
+    )
 
     def train_steps(state: TrainState, batches: Batch, base_key: Array):
         def body(st, batch):

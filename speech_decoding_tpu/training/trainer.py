@@ -93,31 +93,38 @@ class Trainer:
             lr=float(args.lr),
             accumulate_steps=accumulate_steps,
         )
+        # mesh first — the fused train path needs it at step-build time
+        devices = jax.devices()
+        self.multihost = jax.process_count() > 1
+        if self.multihost:
+            # sample_batch is this host's LOCAL shard; the mesh is global
+            assert sample_batch["X"].shape[0] % jax.local_device_count() == 0
+            self.mesh = make_mesh()
+        else:
+            batch_div = sample_batch["X"].shape[0] % len(devices) == 0
+            self.mesh = make_mesh() if len(devices) > 1 and batch_div else None
+
         # fused Pallas train-mode ConvBlocks (custom VJP, opt-in): measured at
         # parity with the XLA stack on v5e at B=64 (see TODO.md), so the
-        # default stays XLA until the fused path wins outright
+        # default stays XLA until the fused path wins outright. On a >1-device
+        # mesh the fused forward runs under shard_map with synchronized
+        # (psummed) BN statistics.
         fused = bool(args.select("tpu.fused_train_blocks", False))
         if fused and jax.default_backend() != "tpu":
             # off-TPU the kernels would run in the Pallas INTERPRETER inside
             # every step — orders of magnitude slower than XLA
             cprint("tpu.fused_train_blocks ignored off-TPU (XLA path used)", "yellow")
             fused = False
-        if fused and len(jax.devices()) > 1:
-            # no GSPMD partitioning rule is wired for the custom-VJP kernels;
-            # sharded batches would be gathered around every pallas_call
-            cprint(
-                "tpu.fused_train_blocks ignored on a multi-device mesh "
-                "(no SPMD partitioning for the fused kernels yet)", "yellow",
-            )
-            fused = False
+        fused_mesh = self.mesh if (fused and self.mesh and self.mesh.size > 1) else None
         self.train_step = make_train_step(
-            encoder, args.reduction, collate, donate=True, fused_blocks=bool(fused)
+            encoder, args.reduction, collate, donate=True,
+            fused_blocks=bool(fused), fused_mesh=fused_mesh,
         )
         self.scan_steps = int(args.select("tpu.scan_steps", 1))
         self.train_step_scan = (
             make_train_step_scan(
                 encoder, args.reduction, collate, donate=True,
-                fused_blocks=bool(fused),
+                fused_blocks=bool(fused), fused_mesh=fused_mesh,
             )
             if self.scan_steps > 1
             else None
@@ -145,23 +152,16 @@ class Trainer:
                 self.state, epoch = self.checkpoints.restore(self.state)
                 self.start_epoch = epoch + 1
 
-        devices = jax.devices()
-        self.multihost = jax.process_count() > 1
         if self.multihost:
-            # sample_batch is this host's LOCAL shard; the mesh is global.
-            # State was initialized identically on every host (shared seed);
-            # lift it into global fully-replicated arrays for the SPMD step.
-            assert sample_batch["X"].shape[0] % jax.local_device_count() == 0
-            self.mesh = make_mesh()
+            # state was initialized identically on every host (shared seed);
+            # lift it into global fully-replicated arrays for the SPMD step
+            # (after any checkpoint restore, which is also host-identical)
             from jax.experimental import multihost_utils
             from jax.sharding import PartitionSpec as P
 
             self.state = multihost_utils.host_local_array_to_global_array(
                 self.state, self.mesh, P()
             )
-        else:
-            batch_div = sample_batch["X"].shape[0] % len(devices) == 0
-            self.mesh = make_mesh() if len(devices) > 1 and batch_div else None
         self._sharding = batch_sharding(self.mesh) if self.mesh else None
         self.is_primary = jax.process_index() == 0
         self._key = jax.random.fold_in(key, 977)

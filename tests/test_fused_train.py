@@ -138,3 +138,79 @@ class TestFusedTrainGrads:
                 np.asarray(leaf_f), np.asarray(leaf_r),
                 rtol=5e-4, atol=atol, err_msg=name,
             )
+
+
+class TestFusedTrainSharded:
+    """Data-parallel fused path under shard_map: synchronized BN — outputs,
+    stats, and gradients match the replicated flax forward on the SAME global
+    batch (the GSPMD-equivalent semantics)."""
+
+    def _mesh(self):
+        from speech_decoding_tpu.parallel.mesh import make_mesh
+
+        return make_mesh({"data": 8, "model": 1})
+
+    def test_sharded_matches_flax_global(self):
+        mesh = self._mesh()
+        from speech_decoding_tpu.models.fused_train import (
+            fused_train_forward_sharded,
+        )
+
+        enc, variables, X, sidx = _setup(batch=8)
+        key = jax.random.PRNGKey(3)
+        Z_ref, stats_ref = _flax_forward(enc, variables, X, sidx, key)
+        Z, stats = fused_train_forward_sharded(
+            enc, variables["params"], variables["batch_stats"], X, sidx, key,
+            mesh, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(Z), np.asarray(Z_ref), rtol=2e-4, atol=2e-5
+        )
+        for blk in stats_ref:
+            for bn in stats_ref[blk]:
+                for leaf in ("mean", "var"):
+                    np.testing.assert_allclose(
+                        np.asarray(stats[blk][bn][leaf]),
+                        np.asarray(stats_ref[blk][bn][leaf]),
+                        rtol=1e-4, atol=1e-6, err_msg=f"{blk}/{bn}/{leaf}",
+                    )
+
+    def test_sharded_grads_match_flax_global(self):
+        mesh = self._mesh()
+        from speech_decoding_tpu.models.fused_train import (
+            fused_train_forward_sharded,
+        )
+
+        enc, variables, X, sidx = _setup(batch=8)
+        key = jax.random.PRNGKey(3)
+        tgt = jax.random.normal(jax.random.PRNGKey(9), (8, T, F))
+
+        def loss_flax(params):
+            Z, _ = enc.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                X, sidx, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            return jnp.mean((Z - tgt) ** 2)
+
+        def loss_sharded(params):
+            Z, _ = fused_train_forward_sharded(
+                enc, params, variables["batch_stats"], X, sidx, key, mesh,
+                interpret=True,
+            )
+            return jnp.mean((Z - tgt) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss_flax)(variables["params"])
+        l_sh, g_sh = jax.value_and_grad(loss_sharded)(variables["params"])
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+        for (pr, lr), (pf, lf) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_sh)[0],
+        ):
+            assert pr == pf
+            scale = np.abs(np.asarray(lr)).max()
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(lr),
+                rtol=5e-4, atol=max(5e-5 * scale, 1e-6),
+                err_msg=jax.tree_util.keystr(pr),
+            )
