@@ -69,14 +69,41 @@ def continuous(onsets: np.ndarray) -> np.ndarray:
     return onsets
 
 
-def drop_overlapping_words(word_onset_idxs, word_onsets, sentence_idxs):
-    """Words with < seq_len until the next sentence onset would straddle
-    splits; the reference leaves this unimplemented (TODO stub,
-    [ref: gwilliams2022.py:690-697]) — behavior kept for parity."""
-    return word_onset_idxs, word_onsets, sentence_idxs
+def drop_overlapping_words(
+    word_onset_idxs, word_onsets, sentence_idxs, min_gap_sec=None
+):
+    """Drop word onsets whose segment would straddle the NEXT sentence's
+    onset: "word onsets that have less than 3 seconds until next sentence
+    onset should be dropped so that they don't go across splits" — the
+    reference documents this but leaves it unimplemented (TODO stub,
+    [ref: gwilliams2022.py:690-697]).
+
+    ``min_gap_sec=None`` (default) reproduces the stub exactly (no-op, the
+    parity behavior); setting it (``preprocs.drop_overlap_sec``, typically
+    seq_len_sec=3.0) enables the documented semantics: a word is kept iff it
+    is in the LAST sentence, or the first word of the following sentence
+    starts at least ``min_gap_sec`` later."""
+    if min_gap_sec is None or len(word_onsets) == 0:
+        return word_onset_idxs, word_onsets, sentence_idxs
+    word_onset_idxs = np.asarray(word_onset_idxs)
+    word_onsets = np.asarray(word_onsets)
+    sentence_idxs = np.asarray(sentence_idxs)
+    # onset of the next DIFFERENT sentence for every word (inf for the last
+    # sentence), computed right-to-left
+    n = len(word_onsets)
+    next_sent_onset = np.full(n, np.inf)
+    nxt = np.inf
+    for i in range(n - 1, 0, -1):
+        if sentence_idxs[i] != sentence_idxs[i - 1]:
+            nxt = word_onsets[i]
+        next_sent_onset[i - 1] = nxt
+    keep = (next_sent_onset - word_onsets) >= min_gap_sec
+    return word_onset_idxs[keep], word_onsets[keep], sentence_idxs[keep]
 
 
-def parse_annotations(descriptions: Sequence) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def parse_annotations(
+    descriptions: Sequence, drop_overlap_sec=None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """From per-annotation description dicts (or their str repr), extract
     word-onset indices, stitched speech onsets and sentence ids
     [ref: gwilliams2022.py:700-720]."""
@@ -88,7 +115,9 @@ def parse_annotations(descriptions: Sequence) -> Tuple[np.ndarray, np.ndarray, n
     word_onset_idxs = np.where(kinds == "word")[0]
     word_onsets = starts[word_onset_idxs]
     sentence_idxs = np.array([rows[i]["sequence_id"] for i in word_onset_idxs])
-    return drop_overlapping_words(word_onset_idxs, word_onsets, sentence_idxs)
+    return drop_overlapping_words(
+        word_onset_idxs, word_onsets, sentence_idxs, drop_overlap_sec
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,8 +131,9 @@ class ArrayBIDSSource:
     ``onset`` (list of seconds) and ``description`` (list of dicts with
     start/kind/sequence_id)."""
 
-    def __init__(self, root_dir: str):
+    def __init__(self, root_dir: str, drop_overlap_sec=None):
         self.root = root_dir
+        self.drop_overlap_sec = drop_overlap_sec
 
     def read(self, subject: int, session: int, task: int):
         stem = f"sub-{subject + 1:02d}_ses-{session}_task-{task}"
@@ -115,7 +145,9 @@ class ArrayBIDSSource:
         meg = np.load(meg_path)
         with open(ann_path) as f:
             ann = json.load(f)
-        word_idxs, speech_onsets, sentence_idxs = parse_annotations(ann["description"])
+        word_idxs, speech_onsets, sentence_idxs = parse_annotations(
+            ann["description"], self.drop_overlap_sec
+        )
         meg_onsets = np.asarray(ann["onset"], np.float64)[word_idxs]
         return meg, meg_onsets, speech_onsets, sentence_idxs
 
@@ -125,8 +157,9 @@ class MNEBIDSSource:
     [ref: gwilliams2022.py:207-251]. Timestamps convert via
     minute*60 + second + microsecond*1e-6 [ref: gwilliams2022.py:664-665]."""
 
-    def __init__(self, root_dir: str):
+    def __init__(self, root_dir: str, drop_overlap_sec=None):
         self.root = root_dir
+        self.drop_overlap_sec = drop_overlap_sec
 
     def read(self, subject: int, session: int, task: int):
         import mne
@@ -148,7 +181,7 @@ class MNEBIDSSource:
         df = raw.to_data_frame()
         df_annot = raw.annotations.to_data_frame()
         word_idxs, speech_onsets, sentence_idxs = parse_annotations(
-            df_annot.description.to_list()
+            df_annot.description.to_list(), self.drop_overlap_sec
         )
         meg_onsets = np.array(
             [o.minute * 60 + o.second + o.microsecond * 1e-6 for o in df_annot.onset]
@@ -157,13 +190,13 @@ class MNEBIDSSource:
         return meg, meg_onsets, speech_onsets, sentence_idxs
 
 
-def default_source(root_dir: str):
+def default_source(root_dir: str, drop_overlap_sec=None):
     try:
         import mne_bids  # noqa: F401
 
-        return MNEBIDSSource(root_dir)
+        return MNEBIDSSource(root_dir, drop_overlap_sec)
     except ImportError:
-        return ArrayBIDSSource(root_dir)
+        return ArrayBIDSSource(root_dir, drop_overlap_sec)
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +235,13 @@ class Gwilliams2022DatasetBase:
         # onset indices so no sliced copies are ever materialized.
         self.memory_efficient = bool(args.get("memory_efficient", True))
         self._wav2vec = wav2vec
-        self._source = source or default_source(self.root_dir)
+        # preprocs.drop_overlap_sec enables the reference's DOCUMENTED-but-
+        # unimplemented drop_overlapping_words (typically = seq_len_sec);
+        # absent/None keeps stub parity. Lives under preprocs so it is part
+        # of the cache key.
+        self._source = source or default_source(
+            self.root_dir, self.preprocs.get("drop_overlap_sec")
+        )
         self._dims = (num_subjects, num_sessions, num_tasks)
 
         rebuild = bool(args.get("rebuild_dataset", False))

@@ -278,3 +278,48 @@ class TestDeviceResident:
         np.testing.assert_allclose(d2["X"].transpose(0, 2, 1), d1["X"], rtol=1e-6)
         np.testing.assert_allclose(d2["Y"].transpose(0, 2, 1), d1["Y"], rtol=1e-6)
         np.testing.assert_array_equal(d2["subject_idxs"], d1["subject_idxs"])
+
+
+class TestDropOverlappingWords:
+    """The reference documents this filter but leaves it a TODO stub
+    [ref: gwilliams2022.py:690-697]; here it is implemented behind
+    preprocs.drop_overlap_sec (None = stub parity)."""
+
+    def test_stub_parity_default(self):
+        from speech_decoding_tpu.data.gwilliams2022 import drop_overlapping_words
+
+        idxs = np.array([0, 1, 2])
+        ons = np.array([0.0, 1.0, 2.0])
+        sent = np.array([0, 0, 1])
+        out = drop_overlapping_words(idxs, ons, sent)  # min_gap_sec=None
+        for a, b in zip(out, (idxs, ons, sent)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_documented_semantics(self):
+        from speech_decoding_tpu.data.gwilliams2022 import drop_overlapping_words
+
+        # sentence 0: words at 0.0, 1.0, 2.5 ; sentence 1 starts at 4.0 with
+        # words 4.0, 4.5 ; sentence 2 starts at 9.0
+        ons = np.array([0.0, 1.0, 2.5, 4.0, 4.5, 9.0])
+        sent = np.array([0, 0, 0, 1, 1, 2])
+        idxs = np.arange(6)
+        k_idx, k_ons, k_sent = drop_overlapping_words(idxs, ons, sent, 3.0)
+        # word at 2.5 has only 1.5 s to sentence-1 onset (4.0) -> dropped;
+        # 1.0 has exactly 3 s ("less than" boundary) -> kept; last sentence
+        # has no following onset -> kept
+        np.testing.assert_array_equal(k_idx, [0, 1, 3, 4, 5])
+        np.testing.assert_array_equal(k_ons, [0.0, 1.0, 4.0, 4.5, 9.0])
+        np.testing.assert_array_equal(k_sent, [0, 0, 1, 1, 2])
+
+    def test_wired_through_source(self, gwilliams_root):
+        import os
+
+        from speech_decoding_tpu.data.gwilliams2022 import ArrayBIDSSource
+
+        root = os.path.join(gwilliams_root, "data", "Gwilliams2022")
+        plain = ArrayBIDSSource(root).read(0, 0, 0)
+        filtered = ArrayBIDSSource(root, drop_overlap_sec=3.0).read(0, 0, 0)
+        assert plain is not None and filtered is not None
+        # filtering can only remove onsets, never add
+        assert len(filtered[1]) <= len(plain[1])
+        assert set(np.asarray(filtered[2])).issubset(set(np.asarray(plain[2])))
