@@ -124,3 +124,63 @@ def test_two_process_symmetric_checkpointing(tmp_path):
     assert epoch == 0
     # two train batches ran -> optimizer stepped twice
     assert int(restored.step) == 2
+
+
+def test_cli_two_process_end_to_end(tmp_path):
+    """The documented multi-host launch recipe end-to-end: two processes run
+    the REAL CLI (train.run) with tpu.multihost=True, JAX_* env vars,
+    reproducible=False (shared-seed broadcast), and a shared checkpoint.dir
+    on synthetic data; both must finish and the primary's checkpoint must
+    exist."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import fixtures
+
+    root = str(tmp_path)
+    fixtures.make_gwilliams_tree(root)
+    cfg = fixtures.make_config(root, "Gwilliams2022")
+    cfg.D1 = 16
+    cfg.D2 = 16
+    cfg.K = 4
+    cfg.F = 16
+    cfg.preprocs.last4layers = False
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+
+    build_cfg = cfg.copy()
+    build_cfg.rebuild_dataset = True
+    Gwilliams2022ShallowSplit(
+        build_cfg, wav2vec=fixtures.tiny_wav2vec(),
+        num_subjects=2, num_sessions=2, num_tasks=2,
+    )
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "multihost_cli_worker.py"),
+                str(i), "2", str(port), root,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "RESULT" in out, out[-2000:]
+    ckpts = os.path.join(root, "shared_ckpts")
+    assert os.path.isdir(ckpts) and os.listdir(ckpts)
