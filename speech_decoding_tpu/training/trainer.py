@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from speech_decoding_tpu.parallel.mesh import batch_sharding, make_mesh
+from speech_decoding_tpu.parallel.multihost import global_batch_from_host_local
 from speech_decoding_tpu.training.checkpoint import CheckpointManager
 from speech_decoding_tpu.training.state import create_train_state
 from speech_decoding_tpu.training.steps import (
@@ -118,13 +119,13 @@ class Trainer:
         fused_mesh = self.mesh if (fused and self.mesh and self.mesh.size > 1) else None
         self.train_step = make_train_step(
             encoder, args.reduction, collate, donate=True,
-            fused_blocks=bool(fused), fused_mesh=fused_mesh,
+            fused_blocks=fused, fused_mesh=fused_mesh,
         )
         self.scan_steps = int(args.select("tpu.scan_steps", 1))
         self.train_step_scan = (
             make_train_step_scan(
                 encoder, args.reduction, collate, donate=True,
-                fused_blocks=bool(fused), fused_mesh=fused_mesh,
+                fused_blocks=fused, fused_mesh=fused_mesh,
             )
             if self.scan_steps > 1
             else None
@@ -156,24 +157,24 @@ class Trainer:
             # state was initialized identically on every host (shared seed);
             # lift it into global fully-replicated arrays for the SPMD step
             # (after any checkpoint restore, which is also host-identical)
-            from jax.experimental import multihost_utils
-            from jax.sharding import PartitionSpec as P
-
-            self.state = multihost_utils.host_local_array_to_global_array(
-                self.state, self.mesh, P()
-            )
+            self.state = self._to_global_replicated(self.state)
         self._sharding = batch_sharding(self.mesh) if self.mesh else None
         self.is_primary = jax.process_index() == 0
         self._key = jax.random.fold_in(key, 977)
         self.history: List[Dict] = []
 
+    def _to_global_replicated(self, tree):
+        """Host-identical values -> global fully-replicated arrays."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, self.mesh, P()
+        )
+
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         if self.multihost:
             # batch is this host's local block; reassemble the global batch
-            from speech_decoding_tpu.parallel.multihost import (
-                global_batch_from_host_local,
-            )
-
             return global_batch_from_host_local(batch, self.mesh)
         B = batch["X"].shape[0]
         if self._sharding is not None and B % self.mesh.shape["data"] == 0:
@@ -184,11 +185,8 @@ class Trainer:
         """Full-test-set batch: every host holds the SAME full batch (shared
         seed), so under multi-host it lifts to a global replicated array."""
         if self.multihost:
-            from jax.experimental import multihost_utils
-            from jax.sharding import PartitionSpec as P
-
-            return multihost_utils.host_local_array_to_global_array(
-                {k: np.asarray(v) for k, v in batch.items()}, self.mesh, P()
+            return self._to_global_replicated(
+                {k: np.asarray(v) for k, v in batch.items()}
             )
         return self._put(batch)
 
@@ -197,10 +195,6 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if self.multihost:
-            from speech_decoding_tpu.parallel.multihost import (
-                global_batch_from_host_local,
-            )
-
             return global_batch_from_host_local(batch, self.mesh, P(None, "data"))
         B = batch["X"].shape[1]
         if self.mesh is not None and B % self.mesh.shape["data"] == 0:

@@ -7,7 +7,6 @@ Usage: python tools/trace_summary.py [xla|fused] [batch_size] [top_n]
 
 import glob
 import os
-import re
 import sys
 import tempfile
 from collections import defaultdict
