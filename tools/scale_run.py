@@ -37,23 +37,28 @@ def main():
     import jax.numpy as jnp
 
     B, C, T, F, S = 64, 208, 360, 1024, 27
-    N_TRAIN, N_TEST = 512, 128
+    N_TRAIN, N_TEST = 256, 64
 
     # device-resident segment pool (the production device-resident data path:
     # per-step host->device traffic is int32 indices only — this harness's
-    # tunneled link would otherwise spend ~5 s shipping each 113 MB batch)
+    # tunneled link would otherwise spend ~5 s shipping each 113 MB batch).
+    # bf16 storage: the f32 pool (~1 GB) overruns this harness's restricted
+    # HBM grant and stalls everything after (see TODO env notes)
     print("building device-resident segment pool...", flush=True)
     kx = jax.random.PRNGKey(0)
-    Xp = jax.random.normal(kx, (N_TRAIN + N_TEST, T, C), jnp.float32)
-    A = jax.random.normal(jax.random.PRNGKey(1), (C, F), jnp.float32) / np.sqrt(C)
+    Xp = jax.random.normal(kx, (N_TRAIN + N_TEST, T, C), jnp.bfloat16)
+    A = jax.random.normal(jax.random.PRNGKey(1), (C, F), jnp.bfloat16) / np.sqrt(C)
     Yp = jax.jit(lambda x: jnp.tanh(x @ A))(Xp)
     jax.block_until_ready(Yp)
 
-    gather = jax.jit(lambda ids: (Xp[ids], Yp[ids]))
+    # pool arrays must be jit ARGUMENTS, not closure constants: constants are
+    # embedded in the HLO, and this harness's remote-compile tunnel rejects
+    # (or takes minutes uploading) a ~GB program blob
+    gather = jax.jit(lambda xp, yp, ids: (xp[ids], yp[ids]))
 
     def make_batch(ids):
         ids = jnp.asarray(np.asarray(ids), jnp.int32)
-        X, Y = gather(ids)
+        X, Y = gather(Xp, Yp, ids)
         return {
             "X": X,
             "Y": Y,  # (B, T, F): channels-last like Z
