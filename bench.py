@@ -161,17 +161,21 @@ def _chip_peak_flops(device) -> float | None:
     return None
 
 
-def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
+def build_flagship_step(fused: bool = False, batch_size: int = 64):
+    """The ONE flagship train-step definition (bf16, GEMM convs, channels-
+    last IO, precomputed scale stats) — shared by this bench,
+    tools/bench_fused_train.py and tools/trace_summary.py so every
+    measurement is of the same model. Returns (step, state, batch, encoder,
+    collate)."""
     import jax
     import jax.numpy as jnp
 
     from speech_decoding_tpu.data.layout import ch_locations_2d
     from speech_decoding_tpu.models import BrainEncoder
+    from speech_decoding_tpu.ops.scaling import window_scale_stats
     from speech_decoding_tpu.training import create_train_state, make_train_step
 
     loc = ch_locations_2d("Gwilliams2022", cache=False)
-    # the production hot-path configuration: bf16 compute, GEMM convs,
-    # channels-last IO (device-resident batches), precomputed scale stats
     enc = BrainEncoder(
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
@@ -183,8 +187,6 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     X = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32) * 10
     Y = jax.random.normal(jax.random.PRNGKey(1), (B, T, F), jnp.float32)
     sidx = jnp.asarray(np.random.default_rng(0).integers(0, 27, B), jnp.int32)
-    from speech_decoding_tpu.ops.scaling import window_scale_stats
-
     batch = {
         "X": X,
         "Y": Y,
@@ -197,7 +199,15 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
         "baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
         "precomputed": True, "channels_last": True,
     }
-    step = make_train_step(enc, collate=collate, donate=True)
+    step = make_train_step(enc, collate=collate, donate=True, fused_blocks=fused)
+    return step, state, batch, enc, collate
+
+
+def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    step, state, batch, enc, collate = build_flagship_step(batch_size=batch_size)
 
     base_key = jax.random.PRNGKey(7)  # per-step keys fold from state.step in-graph
 

@@ -116,7 +116,9 @@ class Trainer:
             # every step — orders of magnitude slower than XLA
             cprint("tpu.fused_train_blocks ignored off-TPU (XLA path used)", "yellow")
             fused = False
-        fused_mesh = self.mesh if (fused and self.mesh and self.mesh.size > 1) else None
+        # self.mesh is only ever built with >1 device, so its presence alone
+        # selects the shard_map (synchronized-BN) fused path
+        fused_mesh = self.mesh if (fused and self.mesh is not None) else None
         self.train_step = make_train_step(
             encoder, args.reduction, collate, donate=True,
             fused_blocks=fused, fused_mesh=fused_mesh,

@@ -15,15 +15,10 @@ def main() -> None:
         sys.argv[3],
         sys.argv[4],
     )
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f
-        for f in os.environ.get("XLA_FLAGS", "").split()
-        if not f.startswith("--xla_force_host_platform_device_count")
-    ]
-    os.environ["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=2"]
-    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mh_env import force_cpu_backend
+
+    force_cpu_backend(2)
     # the documented launch recipe [README "Multi-host"]
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     os.environ["JAX_NUM_PROCESSES"] = str(nproc)

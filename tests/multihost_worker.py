@@ -56,16 +56,10 @@ def make_args():
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
-    # force a clean 2-device CPU backend regardless of inherited env
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f
-        for f in os.environ.get("XLA_FLAGS", "").split()
-        if not f.startswith("--xla_force_host_platform_device_count")
-    ]
-    os.environ["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=2"]
-    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mh_env import force_cpu_backend
+
+    force_cpu_backend(2)
 
     import jax
 

@@ -14,39 +14,11 @@ import numpy as np
 
 
 def build_step(fused: bool, batch_size: int = 64):
-    """The flagship train-step setup (bf16, GEMM convs, channels-last,
-    precomputed collate stats) — shared by this A/B bench and
-    tools/trace_summary.py so both always measure the same model."""
-    import jax
-    import jax.numpy as jnp
+    """Delegates to bench.build_flagship_step — ONE flagship-step definition
+    shared by the driver bench, this A/B tool, and trace_summary."""
+    from bench import build_flagship_step
 
-    from speech_decoding_tpu.data.layout import ch_locations_2d
-    from speech_decoding_tpu.models import BrainEncoder
-    from speech_decoding_tpu.ops.scaling import window_scale_stats
-    from speech_decoding_tpu.training import create_train_state, make_train_step
-
-    loc = ch_locations_2d("Gwilliams2022", cache=False)
-    enc = BrainEncoder(
-        num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
-        compute_dtype=jnp.bfloat16,
-        use_pallas=jax.default_backend() == "tpu",
-        conv_impl="gemm",
-        channels_last_io=True,
-    )
-    B, C, T, F = batch_size, 208, 360, 1024
-    X = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32) * 10
-    Y = jax.random.normal(jax.random.PRNGKey(1), (B, T, F), jnp.float32)
-    sidx = jnp.asarray(np.random.default_rng(0).integers(0, 27, B), jnp.int32)
-    batch = {
-        "X": X, "Y": Y, "subject_idxs": sidx,
-        "scale_stats": window_scale_stats(jnp.swapaxes(X, 1, 2)),
-    }
-    state = create_train_state(enc, jax.random.PRNGKey(2), X, sidx)
-    collate = {
-        "baseline_len_samp": 60, "clamp_lim": 20.0, "clamp": True,
-        "precomputed": True, "channels_last": True,
-    }
-    step = make_train_step(enc, collate=collate, donate=True, fused_blocks=fused)
+    step, state, batch, _, _ = build_flagship_step(fused, batch_size)
     return step, state, batch
 
 

@@ -95,8 +95,11 @@ def main():
     t0 = time.time()
     ep_rng = np.random.default_rng(1)
     for ep in range(epochs):
+        # unique-within-batch, like the production sampler (duplicate
+        # segments would corrupt the CLIP diagonal objective)
         batches = (
-            make_batch(ep_rng.integers(0, N_TRAIN, B)) for _ in range(updates)
+            make_batch(ep_rng.choice(N_TRAIN, B, replace=False))
+            for _ in range(updates)
         )
         trainer.run_epoch(ep, batches, test_batch)
     dt = time.time() - t0

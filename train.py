@@ -90,10 +90,12 @@ def run(args) -> None:
     if multihost:
         # every multi-host invariant (identical param init, identical global
         # batch ids with per-host blocks) relies on a SHARED seed — broadcast
-        # process 0's draw so reproducible=False stays safe
+        # process 0's draw so reproducible=False stays safe. uint32: without
+        # x64 an int64 would silently truncate to int32 and seeds >= 2^31
+        # would come back negative
         from jax.experimental import multihost_utils
 
-        seed = int(multihost_utils.broadcast_one_to_all(np.int64(seed)))
+        seed = int(multihost_utils.broadcast_one_to_all(np.uint32(seed)))
     seed_everything(seed)
     rng = np.random.default_rng(seed)
     cprint(f"Devices: {jax.devices()}", "cyan")
