@@ -214,3 +214,52 @@ class TestFusedTrainSharded:
                 rtol=5e-4, atol=max(5e-5 * scale, 1e-6),
                 err_msg=jax.tree_util.keystr(pr),
             )
+
+
+class TestFusedTrainStepIntegration:
+    """The steps.py integration branches: make_train_step(fused_blocks=True)
+    with and without fused_mesh must track the XLA step's loss/metrics and
+    parameter updates."""
+
+    @pytest.mark.parametrize("with_mesh", [False, True])
+    def test_fused_step_matches_xla_step(self, with_mesh):
+        from speech_decoding_tpu.parallel.mesh import make_mesh
+        from speech_decoding_tpu.training import create_train_state, make_train_step
+
+        enc, variables, X, sidx = _setup(batch=8)
+        Y = jax.random.normal(jax.random.PRNGKey(5), (8, T, F))
+        batch = {"X": X, "Y": Y, "subject_idxs": sidx}
+        key = jax.random.PRNGKey(11)
+
+        def run(fused, mesh=None):
+            state = create_train_state(
+                enc, jax.random.PRNGKey(0), X, sidx,
+                init_temperature=5.1, lr=1e-3,
+            )
+            step = make_train_step(
+                enc, donate=False, fused_blocks=fused, fused_mesh=mesh
+            )
+            outs = []
+            for _ in range(3):
+                state, m = step(state, batch, key)
+                outs.append({k: float(v) for k, v in m.items()})
+            return outs, state
+
+        mesh = make_mesh({"data": 8, "model": 1}) if with_mesh else None
+        ref, ref_state = run(False)
+        got, got_state = run(True, mesh)
+        for m_ref, m_got in zip(ref, got):
+            np.testing.assert_allclose(
+                m_got["loss"], m_ref["loss"], rtol=2e-4, err_msg=str(m_ref)
+            )
+            assert m_got["top1"] == m_ref["top1"]
+            assert m_got["top10"] == m_ref["top10"]
+        # the step-2/3 losses run on step-1/2's UPDATED params, so the
+        # trajectory matching above already validates the parameter updates
+        # end-to-end. (A direct per-param comparison after Adam is fragile by
+        # construction: Adam normalizes near-zero grads — e.g. the
+        # mathematically-zero conv-into-BN bias grads — to full lr-sized
+        # steps whose direction is fp noise.)
+        temp_ref = float(ref_state.params["clip"]["temp"][0])
+        temp_got = float(got_state.params["clip"]["temp"][0])
+        np.testing.assert_allclose(temp_got, temp_ref, rtol=1e-5)
