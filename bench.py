@@ -123,11 +123,14 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0) -> dict:
             )
         _log(f"e2e tree: {n_rec} x (208, {rec_len}) f32 on disk")
 
-        def run_once():
+        def run_once(transfer_dtype="float32"):
             recs = [
                 np.load(os.path.join(tree, f"rec{i:03d}.npy")) for i in range(n_rec)
             ]
-            outs = preprocess_batch(recs, 1000.0, 1.0, 60.0, 120.0, microbatch=2)
+            outs = preprocess_batch(
+                recs, 1000.0, 1.0, 60.0, 120.0, microbatch=2,
+                transfer_dtype=transfer_dtype,
+            )
             assert len(outs) == n_rec and outs[0].shape[0] == 208
             return outs
 
@@ -136,9 +139,22 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0) -> dict:
         t0 = time.perf_counter()
         run_once()
         dt = time.perf_counter() - t0
+
+        # int16 per-channel-scaled raw transfer: halves the upload bytes on
+        # link-bound hosts at ~90 dB SNR (parity-bound in tests/test_ops.py)
+        run_once("int16")  # compile the dequant program
+        t0 = time.perf_counter()
+        run_once("int16")
+        dt_q = time.perf_counter() - t0
     rate = n_rec * rec_secs / dt
+    rate_q = n_rec * rec_secs / dt_q
     _log(f"preproc e2e: {n_rec} recordings ({n_rec * rec_secs:.0f} MEG-s) in {dt:.2f}s -> {rate:.1f} MEG-s/s")
-    return {"preproc_e2e_rate": round(rate, 2), "h2d_link_mbps": round(h2d_mbps, 1)}
+    _log(f"preproc e2e int16 transfer: {dt_q:.2f}s -> {rate_q:.1f} MEG-s/s")
+    return {
+        "preproc_e2e_rate": round(rate, 2),
+        "preproc_e2e_rate_int16": round(rate_q, 2),
+        "h2d_link_mbps": round(h2d_mbps, 1),
+    }
 
 
 # bf16 peak FLOPs/s per chip (MXU), for MFU accounting

@@ -224,12 +224,27 @@ class Brennan2018Dataset:
         ys = gather_segments([self.Y] * len(segment_ids), onsets, seq_len=L)
         return xs, ys
 
-    def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
+    def draw_choices(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """The random-subject draw of ``sample_batch``, exposed so a
+        multi-host caller can draw the FULL global batch's choices from the
+        shared rng and hand each host its block (iid per-sample draws across
+        host blocks, identical stream position to a single-process run)."""
+        return rng.integers(0, self.num_subjects, size=n)
+
+    def sample_batch(
+        self,
+        rng: np.random.Generator,
+        segment_ids: np.ndarray,
+        choices: np.ndarray = None,
+    ):
         """Reference __getitem__ semantics: a random subject per access
         [ref: brennan2018.py:147-152]. Chunk ids == segment_ids (unique by
         construction when segment_ids are unique, satisfying the
-        duplicate-segment guard [ref: train.py:180-183])."""
-        subjects = rng.integers(0, self.num_subjects, size=len(segment_ids))
+        duplicate-segment guard [ref: train.py:180-183]). ``choices``
+        overrides the internal draw (multi-host global sampling)."""
+        subjects = (
+            choices if choices is not None else self.draw_choices(rng, len(segment_ids))
+        )
         X, Y = self.get_segments(segment_ids, subjects)
         return {
             "X": X,

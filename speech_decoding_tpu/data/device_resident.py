@@ -116,15 +116,21 @@ class DeviceResidentGwilliams:
         self._gather = jax.jit(partial(_gather_batch, L, channels_last))
 
     def make_index_batch(
-        self, rng: np.random.Generator, segment_ids: np.ndarray
+        self,
+        rng: np.random.Generator,
+        segment_ids: np.ndarray,
+        choices: np.ndarray = None,
     ) -> Dict[str, np.ndarray]:
         """Host-side index selection — the SAME rng draw sequence as
         Gwilliams2022DatasetBase.sample_batch (one integers(len(keys)) draw
-        per segment)."""
+        per segment; key order matches, so ``choices`` from
+        ``dataset.draw_choices`` selects identical sessions)."""
+        if choices is None:
+            choices = self.ds.draw_choices(rng, len(segment_ids))
         rec_idx, word_idx = [], []
-        for i in segment_ids:
+        for i, choice in zip(segment_ids, choices):
             i_in_task, task = self.ds.segment_to_task(int(i))
-            key = self.keys[rng.integers(len(self.keys))]
+            key = self.keys[int(choice)]
             rec_idx.append(self.rec_index[(key, task)])
             word_idx.append(i_in_task)
         return {

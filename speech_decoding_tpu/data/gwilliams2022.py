@@ -552,18 +552,35 @@ class Gwilliams2022DatasetBase:
         i_in_task = int(i - (accum[task - 1] if task else 0))
         return i_in_task, f"task{task}"
 
-    def sample_batch(self, rng: np.random.Generator, segment_ids: np.ndarray):
+    def draw_choices(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """The random-session draws of ``sample_batch`` (one scalar draw per
+        segment, exactly the internal pattern so the rng stream position
+        matches), exposed for multi-host global sampling: every host draws
+        the full global batch's choices from the shared rng, then
+        materializes only its block."""
+        n_keys = len(self.X)
+        return np.asarray([rng.integers(n_keys) for _ in range(n)])
+
+    def sample_batch(
+        self,
+        rng: np.random.Generator,
+        segment_ids: np.ndarray,
+        choices: np.ndarray = None,
+    ):
         """Assemble a batch: per segment a RANDOM session key
         [ref: gwilliams2022.py:129-142]; X is the raw onset slice (scaling
-        happens in the train step's collate)."""
+        happens in the train step's collate). ``choices`` overrides the
+        internal per-segment draw (multi-host global sampling)."""
         from speech_decoding_tpu.data.native_loader import gather_segments
 
         keys = list(self.X.keys())
         L = self.seq_len_samp
+        if choices is None:
+            choices = self.draw_choices(rng, len(segment_ids))
         sources, onsets, sids, stats = [], [], [], []
-        for i in segment_ids:
+        for i, choice in zip(segment_ids, choices):
             i_in_task, task = self.segment_to_task(int(i))
-            key = keys[rng.integers(len(keys))]
+            key = keys[int(choice)]
             sources.append(self.X[key][task])
             onsets.append(int(self.meg_onsets[key][task][i_in_task]))
             stats.append(self.scale_stats[key][task][i_in_task])

@@ -8,14 +8,19 @@ normalized and scaled into [0.1, 0.9] (the spatial-attention bases are
 periodic, so a 0.1 margin is kept on each side [ref: layout.py:40-41]).
 
 TPU-first design: the layout is *static data*, precomputed once host-side and
-cached as .npy, so training needs no MNE dependency. Resolution order:
+cached on disk, so training needs no MNE dependency. The cache is an ``.npz``
+(``{root_dir}/data/{dataset}/layout_2d.npz``) carrying a ``source`` provenance
+field (``"mne"`` or ``"fallback"``). Resolution order:
 
-  1. a cached ``layout_2d.npy`` next to the dataset
-     (``{root_dir}/data/{dataset}/layout_2d.npy``);
-  2. MNE/mne_bids, if importable (exactly the reference recipe) — result is
-     cached to (1);
-  3. a documented geometric fallback (ring layout for easycap-M10, sunflower
-     spiral for the 208-sensor KIT MEG system). The fallback preserves the
+  1. an MNE-provenance cache is trusted and served silently;
+  2. a fallback-provenance cache (or a legacy provenance-less ``layout_2d.npy``)
+     triggers an MNE retry first — if MNE is now importable the exact layout is
+     computed and the cache upgraded; otherwise the cached fallback is served
+     WITH a warning (every call, so an inexact layout is never silent);
+  3. no cache: MNE/mne_bids if importable (exactly the reference recipe,
+     cached as source="mne"), else a documented geometric fallback (ring
+     layout for easycap-M10, sunflower spiral for the 208-sensor KIT MEG
+     system), cached as source="fallback". The fallback preserves the
      interface and the [0.1, 0.9] box but is NOT position-exact; regenerate
      the cache with MNE installed (tools/precompute_layout.py) before
      comparing accuracy against the reference.
@@ -98,41 +103,95 @@ def _try_mne(dataset_name: str, root_dir: str) -> Optional[np.ndarray]:
     raise ValueError(f"Unknown dataset: {dataset_name}")
 
 
+def _load_cached(cache_dir: str, n_ch: int):
+    """Return (loc, source) from the on-disk cache, or (None, None).
+
+    The current format is ``layout_2d.npz`` with a ``source`` provenance field;
+    a legacy provenance-less ``layout_2d.npy`` is read as source="unknown" so
+    it is never silently trusted as position-exact.
+    """
+    npz_path = os.path.join(cache_dir, "layout_2d.npz")
+    if os.path.exists(npz_path):
+        with np.load(npz_path, allow_pickle=False) as z:
+            loc, source = z["loc"], str(z["source"])
+        assert loc.shape == (n_ch, 2), loc.shape
+        return loc.astype(np.float32), source
+    npy_path = os.path.join(cache_dir, "layout_2d.npy")
+    if os.path.exists(npy_path):
+        loc = np.load(npy_path)
+        assert loc.shape == (n_ch, 2), loc.shape
+        return loc.astype(np.float32), "unknown"
+    return None, None
+
+
+def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> None:
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(
+            os.path.join(cache_dir, "layout_2d.npz"),
+            loc=loc,
+            source=np.asarray(source),
+        )
+        # Remove a shadowing legacy cache so future loads see the tagged one.
+        legacy = os.path.join(cache_dir, "layout_2d.npy")
+        if os.path.exists(legacy):
+            os.remove(legacy)
+    except OSError:
+        pass
+
+
+def _fallback_warning(dataset_name: str, cached: bool) -> None:
+    via = "cached fallback layout" if cached else "geometric fallback"
+    cprint(
+        f"[layout] MNE unavailable — using {via} for {dataset_name}; positions "
+        "are NOT exact. Regenerate with tools/precompute_layout.py (MNE env) "
+        "for position-exact parity.",
+        "yellow",
+    )
+
+
 def ch_locations_2d(
     dataset_name: str, root_dir: str = ".", cache: bool = True
 ) -> np.ndarray:
-    """Return (C, 2) float32 sensor positions in [0.1, 0.9]."""
+    """Return (C, 2) float32 sensor positions in [0.1, 0.9].
+
+    An inexact (fallback-derived) layout is never served silently: a
+    fallback/legacy cache triggers an MNE retry, and if MNE is still
+    unavailable the cached fallback is returned with a warning on EVERY call.
+    """
     if dataset_name not in NUM_CHANNELS:
         raise ValueError(f"Unknown dataset: {dataset_name}")
 
-    cache_path = os.path.join(root_dir, "data", dataset_name, "layout_2d.npy")
-    if cache and os.path.exists(cache_path):
-        loc = np.load(cache_path)
-        assert loc.shape == (NUM_CHANNELS[dataset_name], 2), loc.shape
-        return loc.astype(np.float32)
+    cache_dir = os.path.join(root_dir, "data", dataset_name)
+    cached_loc, cached_source = (None, None)
+    if cache:
+        cached_loc, cached_source = _load_cached(cache_dir, NUM_CHANNELS[dataset_name])
+        if cached_loc is not None and cached_source == "mne":
+            return cached_loc  # position-exact; trusted silently
 
+    # No trusted cache: try MNE (also upgrades a stale fallback cache).
     loc = None
     try:
         loc = _try_mne(dataset_name, root_dir)
     except Exception as e:  # missing BIDS data etc.
-        cprint(f"MNE layout failed ({e}); using geometric fallback", "yellow")
-    if loc is None:
-        cprint(
-            f"[layout] MNE unavailable — using geometric fallback for {dataset_name}. "
-            "Regenerate with tools/precompute_layout.py for position-exact parity.",
-            "yellow",
-        )
-        loc = (
-            _easycap_m10_fallback()
-            if dataset_name == "Brennan2018"
-            else _kit208_fallback()
-        )
+        cprint(f"MNE layout failed ({e}); falling back", "yellow")
+    if loc is not None:
+        loc = _normalize(np.asarray(loc, np.float64))
+        if cache:
+            _write_cache(cache_dir, loc, "mne")
+        return loc
 
+    if cached_loc is not None:  # fallback/unknown provenance — warn every call
+        _fallback_warning(dataset_name, cached=True)
+        return cached_loc
+
+    _fallback_warning(dataset_name, cached=False)
+    loc = (
+        _easycap_m10_fallback()
+        if dataset_name == "Brennan2018"
+        else _kit208_fallback()
+    )
     loc = _normalize(np.asarray(loc, np.float64))
     if cache:
-        try:
-            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            np.save(cache_path, loc)
-        except OSError:
-            pass
+        _write_cache(cache_dir, loc, "fallback")
     return loc

@@ -245,6 +245,9 @@ class SpatialAttention(nn.Module):
             mask = spatial_dropout_mask(
                 key, jnp.asarray(self.loc, jnp.float32), self.d_drop, self.compute_dtype
             )
+            # observable via mutable=["intermediates"] (no-op otherwise):
+            # parity tests probe the exact mask a train step will draw
+            self.sow("intermediates", "drop_mask", mask)
             X = X * mask[None, None, :]
 
         # channel mix: (B, T, C) @ (C, D1) -> (B, T, D1) [ref: models.py:65]

@@ -136,6 +136,47 @@ def _device_reflect_pad(x: Array, pad_l: int, pad_r: int) -> Array:
     return big[..., m - pad_l : big.shape[-1] - (m - pad_r)]
 
 
+@jax.jit
+def _dequant_i16(q: Array, scale: Array) -> Array:
+    return q.astype(jnp.float32) * scale
+
+
+@jax.jit
+def _cast_f32(q: Array) -> Array:
+    return q.astype(jnp.float32)
+
+
+def _ship_raw(r: np.ndarray, transfer_dtype: str) -> Array:
+    """Host->device transfer of one raw recording, optionally quantized.
+
+    On link-bound hosts the raw f32 upload dominates e2e preprocessing;
+    int16 with a per-channel scale halves the bytes at ~90 dB SNR (raw MEG
+    dynamic range fits comfortably; the band-pass then attenuates the
+    quantization noise outside the pass-band). bfloat16 also halves bytes
+    but keeps only ~8 mantissa bits (~0.2% error) — int16 is strictly more
+    accurate at the same size for this data. Dequantization runs on device.
+    """
+    if transfer_dtype in ("float32", None):
+        return jnp.asarray(r, jnp.float32)
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+
+        return _cast_f32(jnp.asarray(np.asarray(r, ml_dtypes.bfloat16)))
+    if transfer_dtype == "int16":
+        # round-half-up via floor(x+0.5): ~35x faster than np.round on one
+        # core (measured 26 vs 944 ms per (208, 48k) recording) at the same
+        # <=0.5-LSB error; /32766 keeps floor(+0.5) inside int16 range with
+        # no clip pass
+        scale = np.abs(r).max(axis=-1, keepdims=True).astype(np.float32) / 32766.0
+        scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+        buf = r * (np.float32(1.0) / scale)
+        buf += np.float32(0.5)
+        np.floor(buf, out=buf)
+        q = buf.astype(np.int16)
+        return _dequant_i16(jnp.asarray(q), jnp.asarray(scale))
+    raise ValueError(f"Unknown transfer_dtype: {transfer_dtype}")
+
+
 def preprocess_batch(
     recordings: Sequence[np.ndarray],
     sfreq: float,
@@ -144,6 +185,7 @@ def preprocess_batch(
     out_rate: float,
     microbatch: int = 4,
     to_host: bool = True,
+    transfer_dtype: str = "float32",
 ) -> List[np.ndarray]:
     """Fused band-pass + resample for a list of (C, T_i) recordings.
     Returns (C, round(T_i * out_rate / sfreq)) arrays — numpy when
@@ -153,7 +195,9 @@ def preprocess_batch(
 
     Only the raw recordings cross host->device; padding happens on device and
     the fetched result's last dim is 128-lane aligned (tiled device->host
-    readback of unaligned arrays is several times slower)."""
+    readback of unaligned arrays is several times slower). On constrained
+    links set ``transfer_dtype="int16"`` (per-channel-scaled) or
+    ``"bfloat16"`` to halve the upload bytes (see ``_ship_raw``)."""
     if not recordings:
         return []
     ratio = out_rate / sfreq
@@ -221,7 +265,7 @@ def preprocess_batch(
             chunk_plans,
             n_out_big,
             n_out_fetch if to_host else n_out_big,
-            *[jnp.asarray(r, jnp.float32) for r in chunk],
+            *[_ship_raw(r, transfer_dtype) for r in chunk],
         )
         # crop at the signal start's true position on the OUTPUT grid (the
         # actual resample ratio is n_out_big/L, which differs from

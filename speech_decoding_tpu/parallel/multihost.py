@@ -76,14 +76,37 @@ def maybe_init_distributed(args) -> bool:
     env = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not (want or env):
         return False
-    addr = env
-    nproc = os.environ.get("JAX_NUM_PROCESSES")
-    pid = os.environ.get("JAX_PROCESS_ID")
-    return init_distributed(
-        coordinator_address=addr,
-        num_processes=int(nproc) if nproc else None,
-        process_id=int(pid) if pid is not None else None,
-    )
+    if env:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        return init_distributed(
+            coordinator_address=env,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    # Explicit multihost opt-in without coordinator coords: use JAX's own
+    # TPU-pod auto-detection (bare initialize). Never fall through silently —
+    # each pod host running an independent single-process training would act
+    # as primary (duplicate W&B runs, concurrent checkpoint writes) with a
+    # no-longer-global batch_size.
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        raise RuntimeError(
+            "tpu.multihost=True but jax.distributed auto-detection failed and "
+            "no coordinator coords were given. Either launch with "
+            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set "
+            "per host, or run on a Cloud TPU pod slice where auto-detection "
+            "works, or drop tpu.multihost=True for a single-process run."
+        ) from e
+    if jax.process_count() <= 1:
+        raise RuntimeError(
+            "tpu.multihost=True but jax.distributed initialized single-process "
+            f"(process_count={jax.process_count()}); this is not a multi-host "
+            "environment. Drop tpu.multihost=True or launch one process per "
+            "host with coordinator coords."
+        )
+    return True
 
 
 def host_local_slice(n_rows: int) -> slice:

@@ -184,3 +184,142 @@ def test_cli_two_process_end_to_end(tmp_path):
         assert "RESULT" in out, out[-2000:]
     ckpts = os.path.join(root, "shared_ckpts")
     assert os.path.isdir(ckpts) and os.listdir(ckpts)
+
+
+class _Args:
+    """Minimal args stub exposing .select (the only Config API used)."""
+
+    def __init__(self, multihost):
+        self._mh = multihost
+
+    def select(self, key, default=None):
+        return self._mh if key == "tpu.multihost" else default
+
+
+def test_multihost_flag_without_coords_fails_loudly(monkeypatch):
+    """tpu.multihost=True with no coordinator env must NEVER silently run
+    single-process (ADVICE r2): bare auto-detect initialize is attempted and
+    failure raises instead of falling through."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+
+    def no_autodetect(*a, **k):
+        raise ValueError("coordinator_address must be defined")
+
+    monkeypatch.setattr(jax.distributed, "initialize", no_autodetect)
+    with pytest.raises(RuntimeError, match="auto-detection failed"):
+        maybe_init_distributed(_Args(True))
+
+
+def test_multihost_flag_single_process_autodetect_fails_loudly(monkeypatch):
+    """Auto-detection 'succeeding' on a single-host env (process_count=1)
+    is still a misconfiguration when multihost was explicitly requested."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="single-process"):
+        maybe_init_distributed(_Args(True))
+
+
+def test_multihost_default_off_is_noop(monkeypatch):
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_init_distributed(_Args(False)) is False
+
+
+def _tiny_brennan(num_subjects=8, num_segments=16, C=4, L=10):
+    """A Brennan2018Dataset with just the attributes sample_batch needs."""
+    from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+    ds = Brennan2018Dataset.__new__(Brennan2018Dataset)
+    rng = np.random.default_rng(7)
+    T = num_segments * L
+    ds.X = np.ascontiguousarray(
+        rng.normal(size=(num_subjects, C, T)).astype(np.float32)
+    )
+    ds.Y = np.ascontiguousarray(rng.normal(size=(3, T)).astype(np.float32))
+    ds.num_subjects = num_subjects
+    ds.num_segments = num_segments
+    ds.seq_len_samp = L
+    ds.baseline_len_samp = 2
+    return ds
+
+
+def test_multihost_sampling_decorrelated_and_matches_single_process():
+    """VERDICT r2 weak #6: with a shared per-epoch rng, per-host internal
+    draws repeat the same subject pattern in every host block. The fix draws
+    the FULL global choice vector on every host and slices blocks: blocks are
+    iid AND the reassembled global batch is bit-identical to single-process."""
+    ds = _tiny_brennan()
+    B, nhost = 16, 2
+    ids = np.arange(B)
+    blocks = [slice(0, B // nhost), slice(B // nhost, B)]
+
+    # The OLD scheme (each host draws its block internally from the shared
+    # stream): identical subject sequences across hosts — the defect.
+    old = [ds.sample_batch(np.random.default_rng(3), ids[blk]) for blk in blocks]
+    np.testing.assert_array_equal(
+        old[0]["subject_idxs"], old[1]["subject_idxs"]
+    )  # documents the failure mode being fixed
+
+    # The NEW scheme (train.py multihost path): global draw, block slice.
+    host_batches = []
+    for blk in blocks:
+        rng = np.random.default_rng(3)  # shared seed, as in train.py
+        choices = ds.draw_choices(rng, B)
+        host_batches.append(ds.sample_batch(rng, ids[blk], choices[blk]))
+    b0, b1 = host_batches
+    assert not np.array_equal(b0["subject_idxs"], b1["subject_idxs"])
+
+    # Reassembled global batch == single-process batch from the same rng.
+    single = ds.sample_batch(np.random.default_rng(3), ids)
+    np.testing.assert_array_equal(
+        np.concatenate([b0["subject_idxs"], b1["subject_idxs"]]),
+        single["subject_idxs"],
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([b0["X"], b1["X"]]), single["X"]
+    )
+
+
+def test_multihost_rng_stream_position_matches_single_process():
+    """After one global-draw batch, hosts and a single process are at the
+    same stream position: the NEXT batch also matches."""
+    ds = _tiny_brennan()
+    B = 8
+    ids1, ids2 = np.arange(B), np.arange(B, 2 * B) % len(ds.Y.T)
+
+    rng_host = np.random.default_rng(11)
+    choices1 = ds.draw_choices(rng_host, B)
+    _ = ds.sample_batch(rng_host, ids1[:4], choices1[:4])  # host 0, batch 1
+    choices2 = ds.draw_choices(rng_host, B)
+
+    rng_single = np.random.default_rng(11)
+    s1 = ds.sample_batch(rng_single, ids1)
+    s2 = ds.sample_batch(rng_single, ids1)
+    np.testing.assert_array_equal(choices1, s1["subject_idxs"])
+    np.testing.assert_array_equal(choices2, s2["subject_idxs"])
+
+
+def test_gwilliams_draw_choices_matches_internal_draw(tmp_path):
+    """Gwilliams draw_choices mirrors sample_batch's per-segment scalar-draw
+    pattern exactly (values AND stream position)."""
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022DatasetBase
+
+    ds = Gwilliams2022DatasetBase.__new__(Gwilliams2022DatasetBase)
+    ds.X = {f"s{i:02d}_sess0": {} for i in range(6)}  # only len() is used
+
+    r1, r2 = np.random.default_rng(5), np.random.default_rng(5)
+    n = 32
+    a = ds.draw_choices(r1, n)
+    b = np.asarray([r2.integers(len(ds.X)) for _ in range(n)])
+    np.testing.assert_array_equal(a, b)
+    # stream positions equal afterwards
+    assert r1.integers(1 << 30) == r2.integers(1 << 30)

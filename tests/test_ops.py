@@ -408,6 +408,43 @@ class TestPreprocessBatch:
         host = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0, to_host=True)
         np.testing.assert_allclose(np.asarray(outs[0]), host[0], rtol=1e-5)
 
+    def test_quantized_transfer_parity(self, rng):
+        """int16 (per-channel scale) / bf16 raw transfer modes halve the
+        host->device bytes on link-bound hosts; the preprocessed output must
+        stay within tight bounds of the f32 path (the band-pass attenuates
+        out-of-band quantization noise) [VERDICT r2 next #6]."""
+        from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
+
+        # realistic amplitude spread across channels (per-channel scaling)
+        amps = np.array([[1.0], [50.0], [2e3], [1e-3]], np.float32)
+        recs = [
+            (rng.normal(size=(4, 20000)) * amps).astype(np.float32),
+            (rng.normal(size=(4, 12000)) * amps).astype(np.float32),
+        ]
+        f32 = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0)
+        i16 = preprocess_batch(
+            recs, 500.0, 1.0, 60.0, 120.0, transfer_dtype="int16"
+        )
+        bf16 = preprocess_batch(
+            recs, 500.0, 1.0, 60.0, 120.0, transfer_dtype="bfloat16"
+        )
+        for a, b, c in zip(f32, i16, bf16):
+            scale = np.abs(a).max(axis=-1, keepdims=True)
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-4)
+            np.testing.assert_allclose(c / scale, a / scale, atol=6e-3)
+            # int16 is strictly tighter than bf16 at the same byte count
+            assert np.abs(b - a).max() < np.abs(c - a).max()
+
+    def test_quantized_transfer_zero_channel(self):
+        """An all-zero channel must not divide by zero in the int16 scale."""
+        from speech_decoding_tpu.ops.brain_preproc import preprocess_batch
+
+        x = np.zeros((2, 20000), np.float32)
+        x[1] = np.sin(np.arange(20000) * 0.05)
+        out = preprocess_batch([x], 500.0, 1.0, 60.0, 120.0, transfer_dtype="int16")[0]
+        assert np.isfinite(out).all()
+        assert np.abs(out[0]).max() == 0.0
+
 
 class TestPrecomputedScaleStats:
     def test_baseline_cancellation_identity(self, rng):

@@ -146,11 +146,11 @@ def run(args) -> None:
                     test_set, store_dtype=sdt, channels_last=cl
                 )
 
-        def _make_batch(ds, epoch_rng, ids):
+        def _make_batch(ds, epoch_rng, ids, choices=None):
             b = batchers.get(id(ds))
             if b is not None:
-                return b.gather(b.make_index_batch(epoch_rng, ids))
-            return ds.sample_batch(epoch_rng, ids)
+                return b.gather(b.make_index_batch(epoch_rng, ids, choices))
+            return ds.sample_batch(epoch_rng, ids, choices)
 
         def train_batches(epoch_rng):
             if args.use_sampler:
@@ -163,11 +163,18 @@ def run(args) -> None:
                 )
             for ids in ids_iter:
                 # multi-host: every process samples the SAME global ids (shared
-                # seed) and materializes only its contiguous block; the global
-                # batch is reassembled on device (multihost.py)
+                # seed) and draws the FULL global batch's random-session
+                # choices (iid per sample — host blocks don't repeat a draw
+                # pattern and the global batch is bit-identical to a
+                # single-process run), then materializes only its contiguous
+                # block; the global batch is reassembled on device
+                # (multihost.py)
                 if multihost:
-                    ids = ids[host_local_slice(len(ids))]
-                yield _make_batch(train_set, epoch_rng, ids)
+                    choices = train_set.draw_choices(epoch_rng, len(ids))
+                    blk = host_local_slice(len(ids))
+                    yield _make_batch(train_set, epoch_rng, ids[blk], choices[blk])
+                else:
+                    yield _make_batch(train_set, epoch_rng, ids)
 
     elif args.dataset == "Brennan2018":
         from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
@@ -191,8 +198,13 @@ def run(args) -> None:
                 drop_last=accumulate_steps > 1 or multihost,
             ):
                 if multihost:
-                    ids = ids[host_local_slice(len(ids))]
-                yield train_set.sample_batch(epoch_rng, ids)
+                    # full-global random-subject draw, host-block slice (see
+                    # the Gwilliams iterator above)
+                    choices = train_set.draw_choices(epoch_rng, len(ids))
+                    blk = host_local_slice(len(ids))
+                    yield train_set.sample_batch(epoch_rng, ids[blk], choices[blk])
+                else:
+                    yield train_set.sample_batch(epoch_rng, ids)
 
     else:
         raise ValueError("Unknown dataset")
