@@ -1,6 +1,8 @@
 from speech_decoding_tpu.training.state import TrainState, create_train_state
 from speech_decoding_tpu.training.steps import (
+    make_chunked_eval,
     make_eval_step,
+    make_train_forward_step,
     make_train_step,
     make_train_step_scan,
 )
@@ -10,5 +12,7 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_train_step_scan",
+    "make_train_forward_step",
     "make_eval_step",
+    "make_chunked_eval",
 ]

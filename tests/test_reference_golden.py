@@ -446,3 +446,88 @@ def test_flagship_training_dynamics_dropout_collate_eval(ref_modules):
     ref_temp = float(ref_loss.temp.detach())
     our_temp = float(state.params["clip"]["temp"][0])
     assert abs(ref_temp - our_temp) < 2e-3, (ref_temp, our_temp)
+
+
+def test_brennan_legacy_accumulation_matches_reference(ref_modules):
+    """The reference's Brennan branch backprops ONLY the last batch of each
+    epoch (a latent bug kept behind tpu.brennan_legacy_accumulation
+    [ref: train.py:205-209]): non-final batches still run train-mode forwards
+    (BN running stats advance), then one Adam step on the final batch's loss.
+    Execute 3 epochs x 4 batches of that exact torch loop and assert our
+    forward_step/train_step emulation (what Trainer.run_epoch does in legacy
+    mode) reproduces the loss trajectory, BN running stats, and temperature."""
+    models, ref_loss_mod = ref_modules
+    from speech_decoding_tpu.training import (
+        create_train_state,
+        make_train_forward_step,
+        make_train_step,
+    )
+
+    ref_enc, ours, variables, _, _ = _make_pair(models, d_drop=0.0)
+    EPOCHS, NB, B, C, T, F = 3, 4, 8, 208, 60, 64
+    rng = np.random.default_rng(77)
+    Xs = rng.normal(size=(EPOCHS, NB, B, C, T)).astype(np.float32)
+    Ys = rng.normal(size=(EPOCHS, NB, B, F, T)).astype(np.float32)
+    sidxs = rng.integers(0, 3, size=(EPOCHS, NB, B)).astype(np.int32)
+
+    # --- torch: the executed Brennan epoch loop [ref: train.py:166-209] ---
+    largs = types.SimpleNamespace(reduction="mean", init_temperature=5.1)
+    ref_loss = ref_loss_mod.CLIPLoss(largs)
+    opt = torch.optim.Adam(
+        list(ref_enc.parameters()) + list(ref_loss.parameters()), lr=3e-4
+    )
+    ref_enc.train()
+    ref_losses = []
+    for e in range(EPOCHS):
+        loss = None
+        for k in range(NB):
+            Z = ref_enc(torch.from_numpy(Xs[e, k]), torch.from_numpy(sidxs[e, k]))
+            loss = ref_loss(torch.from_numpy(Ys[e, k]), Z)
+            ref_losses.append(float(loss))
+        opt.zero_grad()
+        loss.backward()  # ONLY the last batch's graph — the reference quirk
+        opt.step()
+
+    # --- ours: forward_step for non-final batches, train_step for the last
+    # (exactly Trainer.run_epoch's legacy branch) ---
+    state = create_train_state(
+        ours, jax.random.PRNGKey(9), Xs[0, 0], sidxs[0, 0],
+        init_temperature=5.1, lr=3e-4,
+    )
+    state = state.replace(
+        params={"encoder": variables["params"], "clip": state.params["clip"]},
+        batch_stats=variables["batch_stats"],
+    )
+    fwd_step = make_train_forward_step(ours)
+    train_step = make_train_step(ours, donate=False)
+    our_losses = []
+    for e in range(EPOCHS):
+        for k in range(NB):
+            batch = {"X": Xs[e, k], "Y": Ys[e, k], "subject_idxs": sidxs[e, k]}
+            step_fn = train_step if k == NB - 1 else fwd_step
+            state, m = step_fn(state, batch, jax.random.PRNGKey(0))
+            our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=3e-4, atol=3e-4)
+
+    # BN running stats advanced by ALL 12 train-mode forwards
+    ref_sd = ref_enc.state_dict()
+    for blk in range(5):
+        for bn in ("batchnorm0", "batchnorm1"):
+            ours_bn = state.batch_stats[f"conv{blk}"][bn]
+            np.testing.assert_allclose(
+                np.asarray(ours_bn["mean"]),
+                ref_sd[f"conv_blocks.conv{blk}.{bn}.running_mean"].numpy(),
+                rtol=1e-2, atol=2e-3,
+                err_msg=f"conv{blk}.{bn}.running_mean",
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours_bn["var"]),
+                ref_sd[f"conv_blocks.conv{blk}.{bn}.running_var"].numpy(),
+                rtol=1e-2, atol=2e-3,
+                err_msg=f"conv{blk}.{bn}.running_var",
+            )
+    assert (
+        abs(float(ref_loss.temp.detach()) - float(state.params["clip"]["temp"][0]))
+        < 1e-3
+    )
