@@ -110,34 +110,44 @@ def _load_cached(cache_dir: str, n_ch: int):
     a legacy provenance-less ``layout_2d.npy`` is read as source="unknown" so
     it is never silently trusted as position-exact.
     """
+    # tolerant loads: a concurrent writer (multi-host startup on a shared
+    # filesystem) may be mid-upgrade — a torn/vanished cache file is treated
+    # as "no cache", never a crash
     npz_path = os.path.join(cache_dir, "layout_2d.npz")
-    if os.path.exists(npz_path):
+    try:
         with np.load(npz_path, allow_pickle=False) as z:
             loc, source = z["loc"], str(z["source"])
         assert loc.shape == (n_ch, 2), loc.shape
         return loc.astype(np.float32), source
-    npy_path = os.path.join(cache_dir, "layout_2d.npy")
-    if os.path.exists(npy_path):
-        loc = np.load(npy_path)
+    except (FileNotFoundError, OSError, ValueError, KeyError):
+        pass
+    try:
+        loc = np.load(os.path.join(cache_dir, "layout_2d.npy"))
         assert loc.shape == (n_ch, 2), loc.shape
         return loc.astype(np.float32), "unknown"
+    except (FileNotFoundError, OSError, ValueError):
+        pass
     return None, None
 
 
-def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> None:
+def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> bool:
+    """Atomically write the tagged cache (temp file + rename, safe under
+    concurrent multi-host writers). Returns False if the write failed."""
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        np.savez(
-            os.path.join(cache_dir, "layout_2d.npz"),
-            loc=loc,
-            source=np.asarray(source),
-        )
+        final = os.path.join(cache_dir, "layout_2d.npz")
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: savez can't append ".npz"
+            np.savez(f, loc=loc, source=np.asarray(source))
+        os.replace(tmp, final)
         # Remove a shadowing legacy cache so future loads see the tagged one.
-        legacy = os.path.join(cache_dir, "layout_2d.npy")
-        if os.path.exists(legacy):
-            os.remove(legacy)
+        try:
+            os.remove(os.path.join(cache_dir, "layout_2d.npy"))
+        except FileNotFoundError:
+            pass
+        return True
     except OSError:
-        pass
+        return False
 
 
 def _fallback_warning(dataset_name: str, cached: bool) -> None:

@@ -79,11 +79,23 @@ def maybe_init_distributed(args) -> bool:
     if env:
         nproc = os.environ.get("JAX_NUM_PROCESSES")
         pid = os.environ.get("JAX_PROCESS_ID")
-        return init_distributed(
+        active = init_distributed(
             coordinator_address=env,
             num_processes=int(nproc) if nproc else None,
             process_id=int(pid) if pid is not None else None,
         )
+        if want and not active:
+            # the fail-loudly guarantee must hold on the env-coords path too:
+            # a swallowed initialize() failure (unreachable coordinator, prior
+            # single-process init) would otherwise demote every pod host to an
+            # independent single-process primary
+            raise RuntimeError(
+                "tpu.multihost=True with JAX_COORDINATOR_ADDRESS set, but "
+                "jax.distributed did not reach process_count>1 — coordinator "
+                "unreachable, JAX_NUM_PROCESSES=1, or the backend was already "
+                "initialized single-process."
+            )
+        return active
     # Explicit multihost opt-in without coordinator coords: use JAX's own
     # TPU-pod auto-detection (bare initialize). Never fall through silently —
     # each pod host running an independent single-process training would act

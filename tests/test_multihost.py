@@ -303,7 +303,7 @@ def test_multihost_rng_stream_position_matches_single_process():
 
     rng_single = np.random.default_rng(11)
     s1 = ds.sample_batch(rng_single, ids1)
-    s2 = ds.sample_batch(rng_single, ids1)
+    s2 = ds.sample_batch(rng_single, ids2)
     np.testing.assert_array_equal(choices1, s1["subject_idxs"])
     np.testing.assert_array_equal(choices2, s2["subject_idxs"])
 
@@ -323,3 +323,22 @@ def test_gwilliams_draw_choices_matches_internal_draw(tmp_path):
     np.testing.assert_array_equal(a, b)
     # stream positions equal afterwards
     assert r1.integers(1 << 30) == r2.integers(1 << 30)
+
+
+def test_multihost_flag_env_coords_init_failure_fails_loudly(monkeypatch):
+    """Env-coords path: a swallowed initialize() failure must not demote an
+    explicit tpu.multihost=True run to silent single-process."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+
+    def fail(*a, **k):
+        raise RuntimeError("unreachable coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    with pytest.raises(RuntimeError, match="did not reach"):
+        maybe_init_distributed(_Args(True))

@@ -35,7 +35,8 @@ def main():
     loc = _normalize(np.asarray(loc, np.float64))
     assert loc.shape == (NUM_CHANNELS[dataset], 2), loc.shape
     cache_dir = os.path.join(root, "data", dataset)
-    _write_cache(cache_dir, loc, "mne")
+    if not _write_cache(cache_dir, loc, "mne"):
+        raise SystemExit(f"FAILED to write layout cache under {cache_dir}")
     print(f"wrote {os.path.join(cache_dir, 'layout_2d.npz')} {loc.shape} source=mne")
 
 
