@@ -182,3 +182,62 @@ def test_load_wav2vec_model_from_local_checkpoint(tmp_path):
             refs.append(torch.stack(out).mean(0)[0])
     ref = torch.vstack(refs).T.numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_full_scale_xlsr53_params_from_torch_parity():
+    """The FULL 317M-parameter xlsr-53 architecture (hidden 1024, 24 layers,
+    512-ch extractor — transformers' real Wav2Vec2Model at the exact
+    facebook/wav2vec2-large-xlsr-53 config, random weights) through
+    params_from_torch, compared against the executed torch forward on 1 s of
+    audio. Closes the 'port proven only at tiny scale' gap as far as the
+    offline environment allows — the same code path will port the pretrained
+    state_dict unchanged [ref: wav2vec_util.py:8-11, config.yaml:30]."""
+    cfg = Wav2Vec2Config()  # the default IS xlsr-53 full scale
+    hf_cfg = transformers.Wav2Vec2Config(
+        conv_dim=list(cfg.conv_dim),
+        conv_stride=list(cfg.conv_stride),
+        conv_kernel=list(cfg.conv_kernel),
+        conv_bias=cfg.conv_bias,
+        feat_extract_norm=cfg.feat_extract_norm,
+        do_stable_layer_norm=cfg.do_stable_layer_norm,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+    n_params = sum(p.numel() for p in hf.parameters())
+    assert n_params > 3e8, n_params  # really the 317M-scale model
+
+    variables = params_from_torch(hf.state_dict(), cfg)
+    model = Wav2Vec2Model(cfg)
+
+    wav = np.random.default_rng(3).normal(size=16000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        out = hf(torch.from_numpy(wav[None]), output_hidden_states=True)
+    ref_last = out.last_hidden_state[0].numpy()
+    ref_l4 = torch.stack(out.hidden_states[-4:]).mean(0)[0].numpy()
+
+    last, hidden = model.apply(
+        variables, jnp.asarray(wav[None]), output_hidden_states=True
+    )
+    ours_last = np.asarray(last[0])
+    ours_l4 = np.asarray(jnp.stack(hidden[-4:]).mean(0)[0])
+
+    scale = np.abs(ref_last).max()
+    np.testing.assert_allclose(
+        ours_last / scale, ref_last / scale, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        ours_l4 / np.abs(ref_l4).max(), ref_l4 / np.abs(ref_l4).max(), atol=2e-4
+    )
