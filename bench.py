@@ -219,6 +219,59 @@ def build_flagship_step(fused: bool = False, batch_size: int = 64):
     return step, state, batch, enc, collate
 
 
+def bench_w2v_embed(batch: int = 16) -> float | None:
+    """Full-scale xlsr-53 (315M-param) audio-embedding throughput in
+    audio-seconds/s, bf16, value-forced chained timing (see
+    tools/bench_wav2vec.py). Random weights — throughput depends only on the
+    architecture. Returns None off-TPU or on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        cfg = Wav2Vec2Config()
+        model = Wav2Vec2Model(cfg)
+        SR = 16000
+        wav = jax.random.normal(jax.random.PRNGKey(0), (batch, SR), jnp.float32) * 0.1
+        variables = jax.jit(lambda k, x: model.init(k, x))(
+            jax.random.PRNGKey(1), wav[:1]
+        )
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            variables,
+        )
+        wav = wav.astype(jnp.bfloat16)
+
+        @jax.jit
+        def chained(v, x, carry):
+            bump = carry.astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
+            _, hidden = model.apply(v, x + bump, output_hidden_states=True)
+            out = jnp.mean(jnp.stack(hidden[-4:]), axis=0)
+            return out[0, 0, 0].astype(jnp.float32)
+
+        carry = jnp.float32(0)
+        for _ in range(6):  # compile + warm
+            carry = chained(variables, wav, carry)
+        float(carry)
+        best = float("inf")
+        for _ in range(2):
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                carry = chained(variables, wav, carry)
+            float(carry)
+            best = min(best, (time.perf_counter() - t0) / n)
+        rate = batch / best
+        _log(f"xlsr-53 bf16 embed: {best * 1e3:.2f} ms/{batch} audio-s -> {rate:.0f} audio-s/s")
+        return round(rate, 1)
+    except Exception as e:
+        _log(f"w2v embed bench skipped: {e}")
+        return None
+
+
 def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     import jax
     import jax.numpy as jnp
@@ -287,6 +340,7 @@ def main():
     compute_rate = bench_preproc()
     e2e = bench_preproc_e2e()
     train_single, train_scan, mfu_info = bench_train()
+    w2v_rate = bench_w2v_embed()
     # headline = the faster dispatch mode (scan vs single varies by how
     # dispatch-latency-bound the host link is)
     train_seg = max(train_single, train_scan)
@@ -305,6 +359,7 @@ def main():
             "platform": platform,
             **e2e,
             **{k: v for k, v in mfu_info.items() if v is not None},
+            **({"w2v_embed_audio_sec_per_sec": w2v_rate} if w2v_rate else {}),
             "e2e_note": "preproc_e2e_rate includes disk+host<->device I/O; bounded by h2d_link_mbps on this tunneled harness (real TPU hosts: GB/s DMA)",
         },
     }

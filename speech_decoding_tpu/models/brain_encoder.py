@@ -165,6 +165,27 @@ class Conv1d(nn.Module):
                     preferred_element_type=dt,
                 )
                 y = yj if y is None else y + yj
+        elif self.impl == "gemm_wide" and k > 1:
+            # ONE (B·T, Cin)x(Cin, k·Cout) GEMM for all k taps, then k
+            # shifted-slice adds (fused elementwise). Lane economics on the
+            # MXU: Cout=320 occupies 2.5 128-lane tiles (~17% padding waste
+            # per tap-GEMM); k·Cout=960 occupies 7.5->8 tiles (~6%), and the
+            # GLU conv's k·2·Cout=1920 is exact. Same math as 'gemm':
+            # y[t] = Σ_j z_j[t+(j-c)·d] with z_j = x @ W_j.
+            assert k % 2 == 1, "gemm_wide assumes odd kernels ('SAME' centering)"
+            d = self.dilation
+            pad = (k // 2) * d
+            T = x.shape[-2]
+            kcat = kernel.transpose(1, 0, 2).reshape(in_features, k * self.features)
+            zcat = jnp.einsum(
+                "btc,cf->btf", x, kcat.astype(dt), preferred_element_type=dt
+            )
+            z = zcat.reshape(*zcat.shape[:-1], k, self.features)
+            zp = jnp.pad(z, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+            y = None
+            for j in range(k):
+                yj = jax.lax.dynamic_slice_in_dim(zp[..., j, :], j * d, T, axis=-2)
+                y = yj if y is None else y + yj
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -200,7 +200,7 @@ def test_conv_impl_gemm_matches_xla(loc_module=None):
     X = np.random.default_rng(3).normal(size=(3, 208, 48)).astype(np.float32)
     sidx = np.zeros(3, np.int32)
     outs = {}
-    for impl in ("xla", "gemm"):
+    for impl in ("xla", "gemm", "gemm_wide"):
         enc = BrainEncoder(
             num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, conv_impl=impl
         )
@@ -210,6 +210,43 @@ def test_conv_impl_gemm_matches_xla(loc_module=None):
         )
         outs[impl] = np.asarray(enc.apply(v, X, sidx, train=False))
     np.testing.assert_allclose(outs["xla"], outs["gemm"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        outs["xla"], outs["gemm_wide"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_conv_impl_gemm_wide_grad_parity():
+    """gemm_wide must also match in the backward pass (same loss grads as
+    the xla lowering) — it reorders the tap sum into one wide GEMM plus
+    shifted-slice adds, exercising every dilation in the 5-block stack."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    X = np.random.default_rng(4).normal(size=(2, 208, 48)).astype(np.float32)
+    sidx = np.zeros(2, np.int32)
+    grads = {}
+    for impl in ("xla", "gemm_wide"):
+        enc = BrainEncoder(
+            num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, conv_impl=impl
+        )
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+
+        def loss(params):
+            Z = enc.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                X, sidx, train=False,
+            )
+            return (Z * Z).mean()
+
+        grads[impl] = jax.grad(loss)(v["params"])
+    jax.tree.map(
+        lambda ga, gb: np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=1e-6
+        ),
+        grads["xla"],
+        grads["gemm_wide"],
+    )
 
 
 def test_remat_identical_outputs():

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""A/B the Conv1d implementations on the full flagship train step (value-
+forced timing via tools/probe_lane_padding.time_step).
+
+'gemm'      = 3 shifted 320-lane GEMMs per conv (2.5 MXU tiles each, ~17%
+              lane-padding waste);
+'gemm_wide' = ONE 960-lane GEMM per conv (7.5->8 tiles, ~6% waste; the GLU
+              conv's 1920 lanes are exact) + fused shifted-slice adds;
+'xla'       = lax.conv_general_dilated.
+
+    python tools/ab_conv_impl.py [batch_size]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from probe_lane_padding import time_step  # noqa: E402
+
+
+def main():
+    bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    base = None
+    for impl in ("gemm", "gemm_wide", "xla"):
+        dt, flops = time_step(270, 320, bsz, conv_impl=impl)
+        ms = dt * 1e3
+        note = ""
+        if base is None:
+            base = ms
+        else:
+            note = f"  ({ms / base:.3f}x gemm time)"
+        gf = f" {flops / 1e9:7.1f} GF/step" if flops else ""
+        print(f"{impl:10s}: {ms:7.3f} ms/step{gf} -> {1 / dt:6.1f} steps/s{note}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def time_step(D1, D2, batch_size=64, n_warm=20, n_timed=30, rounds=2):
+def time_step(D1, D2, batch_size=64, n_warm=20, n_timed=30, rounds=2, conv_impl="gemm"):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +36,7 @@ def time_step(D1, D2, batch_size=64, n_warm=20, n_timed=30, rounds=2):
         num_subjects=27, loc=loc, D1=D1, D2=D2, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
-        conv_impl="gemm",
+        conv_impl=conv_impl,
         channels_last_io=True,
     )
     B, C, T, F = batch_size, 208, 360, 1024
