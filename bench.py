@@ -221,54 +221,85 @@ def build_flagship_step(fused: bool = False, batch_size: int = 64):
 
 def bench_w2v_embed(batch: int = 16) -> float | None:
     """Full-scale xlsr-53 (315M-param) audio-embedding throughput in
-    audio-seconds/s, bf16, value-forced chained timing (see
-    tools/bench_wav2vec.py). Random weights — throughput depends only on the
-    architecture. Returns None off-TPU or on failure."""
+    audio-seconds/s, bf16. Delegates to tools.bench_wav2vec.measure_embed_rate
+    — the ONE value-forced chained-timing implementation (random weights;
+    throughput depends only on the architecture). Returns None off-TPU or on
+    failure."""
     import jax
-    import jax.numpy as jnp
-
-    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 
     if jax.default_backend() != "tpu":
         return None
     try:
-        cfg = Wav2Vec2Config()
-        model = Wav2Vec2Model(cfg)
-        SR = 16000
-        wav = jax.random.normal(jax.random.PRNGKey(0), (batch, SR), jnp.float32) * 0.1
-        variables = jax.jit(lambda k, x: model.init(k, x))(
-            jax.random.PRNGKey(1), wav[:1]
+        from tools.bench_wav2vec import measure_embed_rate
+
+        return round(measure_embed_rate(batch, "bfloat16", rounds=2, log=_log), 1)
+    except Exception as e:
+        _log(f"w2v embed bench skipped: {e}")
+        return None
+
+
+def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
+    """Serving throughput: eval-mode flagship encode (fused Pallas ConvBlock
+    stack with folded BN on TPU — the SpeechDecoder path, inference.py) plus
+    top-10 retrieval against a device-resident candidate bank, in brain
+    segments decoded per second. The reference has no inference path at all
+    [ref: train.py:259 save-only]; its closest analogue is the eval forward
+    (0.96 GB full-test-batch on GPU [ref: train.py:225]). Returns None
+    off-TPU or on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.inference import SpeechDecoder, retrieve_topk
+    from speech_decoding_tpu.models import BrainEncoder
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        loc = ch_locations_2d("Gwilliams2022", cache=False)
+        enc = BrainEncoder(
+            num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
+            compute_dtype=jnp.bfloat16, use_pallas=True, conv_impl="gemm",
+            channels_last_io=True,
         )
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            variables,
-        )
-        wav = wav.astype(jnp.bfloat16)
+        B, C, T, F = batch, 208, 360, 1024
+        X = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32)
+        sidx = jnp.zeros((B,), jnp.int32)
+        variables = jax.jit(enc.init)(jax.random.PRNGKey(1), X, sidx)
+        dec = SpeechDecoder(enc, variables["params"], variables["batch_stats"])
+        # bank generated ON DEVICE (no bulk host->device transfer on this
+        # link) and passed as a jit ARGUMENT (large closure constants stall
+        # the remote-compile tunnel)
+        bank = jax.random.normal(jax.random.PRNGKey(2), (bank_n, F * T), jnp.float32)
+        bank_norm = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
 
         @jax.jit
-        def chained(v, x, carry):
-            bump = carry.astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
-            _, hidden = model.apply(v, x + bump, output_hidden_states=True)
-            out = jnp.mean(jnp.stack(hidden[-4:]), axis=0)
-            return out[0, 0, 0].astype(jnp.float32)
+        def chained(X, sidx, bank_norm, carry):
+            Z = dec._encode(X + carry.astype(X.dtype) * 1e-30, sidx)
+            scores, _ids = retrieve_topk(Z, bank_norm, 10)
+            return scores[0, 0].astype(jnp.float32)
 
         carry = jnp.float32(0)
-        for _ in range(6):  # compile + warm
-            carry = chained(variables, wav, carry)
+        for _ in range(5):  # compile + warm
+            carry = chained(X, sidx, bank_norm, carry)
         float(carry)
         best = float("inf")
         for _ in range(2):
-            n = 10
+            reps = 20
             t0 = time.perf_counter()
-            for _ in range(n):
-                carry = chained(variables, wav, carry)
-            float(carry)
-            best = min(best, (time.perf_counter() - t0) / n)
+            for _ in range(reps):
+                carry = chained(X, sidx, bank_norm, carry)
+            float(carry)  # forces the whole chain
+            best = min(best, (time.perf_counter() - t0) / reps)
         rate = batch / best
-        _log(f"xlsr-53 bf16 embed: {best * 1e3:.2f} ms/{batch} audio-s -> {rate:.0f} audio-s/s")
-        return round(rate, 1)
+        _log(f"serve: {best * 1e3:.2f} ms / {batch} segs (bank {bank_n}) -> {rate:.0f} seg/s")
+        return {
+            "serve_segments_per_sec": round(rate, 1),
+            "serve_batch": batch,
+            "serve_bank_segments": bank_n,
+        }
     except Exception as e:
-        _log(f"w2v embed bench skipped: {e}")
+        _log(f"serve bench skipped: {e}")
         return None
 
 
@@ -341,6 +372,7 @@ def main():
     e2e = bench_preproc_e2e()
     train_single, train_scan, mfu_info = bench_train()
     w2v_rate = bench_w2v_embed()
+    serve = bench_serve()
     # headline = the faster dispatch mode (scan vs single varies by how
     # dispatch-latency-bound the host link is)
     train_seg = max(train_single, train_scan)
@@ -360,6 +392,7 @@ def main():
             **e2e,
             **{k: v for k, v in mfu_info.items() if v is not None},
             **({"w2v_embed_audio_sec_per_sec": w2v_rate} if w2v_rate else {}),
+            **(serve or {}),
             "e2e_note": "preproc_e2e_rate includes disk+host<->device I/O; bounded by h2d_link_mbps on this tunneled harness (real TPU hosts: GB/s DMA)",
         },
     }

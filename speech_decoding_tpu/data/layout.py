@@ -29,6 +29,8 @@ field (``"mne"`` or ``"fallback"``). Resolution order:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 from typing import Optional
 
 import numpy as np
@@ -113,19 +115,22 @@ def _load_cached(cache_dir: str, n_ch: int):
     # tolerant loads: a concurrent writer (multi-host startup on a shared
     # filesystem) may be mid-upgrade — a torn/vanished cache file is treated
     # as "no cache", never a crash
+    # (BadZipFile/EOFError: a truncated npz/npy is "torn", not an error state)
+    torn = (FileNotFoundError, OSError, ValueError, KeyError,
+            EOFError, zipfile.BadZipFile)
     npz_path = os.path.join(cache_dir, "layout_2d.npz")
     try:
         with np.load(npz_path, allow_pickle=False) as z:
             loc, source = z["loc"], str(z["source"])
         assert loc.shape == (n_ch, 2), loc.shape
         return loc.astype(np.float32), source
-    except (FileNotFoundError, OSError, ValueError, KeyError):
+    except torn:
         pass
     try:
         loc = np.load(os.path.join(cache_dir, "layout_2d.npy"))
         assert loc.shape == (n_ch, 2), loc.shape
         return loc.astype(np.float32), "unknown"
-    except (FileNotFoundError, OSError, ValueError):
+    except torn:
         pass
     return None, None
 
@@ -133,13 +138,17 @@ def _load_cached(cache_dir: str, n_ch: int):
 def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> bool:
     """Atomically write the tagged cache (temp file + rename, safe under
     concurrent multi-host writers). Returns False if the write failed."""
+    tmp = None
     try:
         os.makedirs(cache_dir, exist_ok=True)
         final = os.path.join(cache_dir, "layout_2d.npz")
-        tmp = f"{final}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:  # file object: savez can't append ".npz"
+        # mkstemp: unique per writer even across hosts sharing a filesystem
+        # (pids alone can collide host-to-host and tear the file)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, prefix="layout_2d.npz.tmp.")
+        with os.fdopen(fd, "wb") as f:  # file object: savez can't append ".npz"
             np.savez(f, loc=loc, source=np.asarray(source))
         os.replace(tmp, final)
+        tmp = None
         # Remove a shadowing legacy cache so future loads see the tagged one.
         try:
             os.remove(os.path.join(cache_dir, "layout_2d.npy"))
@@ -148,6 +157,12 @@ def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> bool:
         return True
     except OSError:
         return False
+    finally:
+        if tmp is not None:  # failed write: don't leak the temp file
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _fallback_warning(dataset_name: str, cached: bool) -> None:

@@ -28,6 +28,19 @@ from speech_decoding_tpu.models.brain_encoder import BrainEncoder
 Array = jax.Array
 
 
+def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array]:
+    """Top-k candidates per brain embedding: cosine similarity of flattened
+    embeddings against L2-normalized bank rows, reference orientation
+    [ref: models.py:226-243]. ``bank_norm`` is (N, F*T) row-normalized (see
+    ``SpeechDecoder.set_bank``); returns (scores, ids) each (B, k). Pure —
+    pass ``bank_norm`` as a jit argument (large banks must not be closure
+    constants)."""
+    z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+    sim = jnp.matmul(z, bank_norm.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sim, k)
+
+
 def _gelu_dense(h: Array, conv_params, dtype) -> Array:
     """1x1 conv head (kernel (1, Cin, Cout)) + exact GELU in (B, T, C)."""
     w = jnp.asarray(conv_params["kernel"], dtype)[0]
@@ -127,11 +140,20 @@ class SpeechDecoder:
     # -- serving ops ----------------------------------------------------------
 
     def set_bank(self, bank: Array) -> None:
-        """Install the candidate speech-embedding bank (N, F, T); rows are
-        L2-normalized once, device-resident."""
-        flat = jnp.reshape(jnp.asarray(bank, jnp.float32), (bank.shape[0], -1))
-        norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
+        """Install the candidate speech-embedding bank, reference layout
+        (N, F, T) [ref: models.py:226]; rows are L2-normalized once,
+        device-resident.
+
+        The flatten order must match ``encode``'s output layout: a
+        channels-last encoder emits (B, T, F), so the bank is transposed to
+        (N, T, F) before flattening — otherwise the cosine similarity would
+        compare differently-permuted vectors."""
         self.bank = bank
+        bank = jnp.asarray(bank, jnp.float32)
+        if self.encoder.channels_last_io:
+            bank = jnp.swapaxes(bank, -1, -2)
+        flat = jnp.reshape(bank, (bank.shape[0], -1))
+        norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
         self._bank_norm = flat / jnp.maximum(norm, 1e-8)
 
     def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
@@ -143,10 +165,7 @@ class SpeechDecoder:
         each (B, k). Cosine similarity, reference orientation
         [ref: models.py:226-243]."""
         assert self._bank_norm is not None, "call set_bank() first"
-        z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
-        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
-        sim = jnp.matmul(z, self._bank_norm.T, preferred_element_type=jnp.float32)
-        return jax.lax.top_k(sim, k)
+        return retrieve_topk(Z, self._bank_norm, k)
 
     def decode(
         self, X: np.ndarray, subject_idxs: np.ndarray, k: int = 10

@@ -84,16 +84,20 @@ def maybe_init_distributed(args) -> bool:
             num_processes=int(nproc) if nproc else None,
             process_id=int(pid) if pid is not None else None,
         )
-        if want and not active:
-            # the fail-loudly guarantee must hold on the env-coords path too:
-            # a swallowed initialize() failure (unreachable coordinator, prior
-            # single-process init) would otherwise demote every pod host to an
-            # independent single-process primary
+        if not active and nproc != "1":
+            # the fail-loudly guarantee must hold on the env-coords path too
+            # (whether activated by tpu.multihost=True or by the env vars
+            # alone — both are explicit multi-process launches): a swallowed
+            # initialize() failure (unreachable coordinator, prior
+            # single-process init) would otherwise demote every pod host to
+            # an independent single-process primary with duplicate W&B runs,
+            # concurrent checkpoint writes, and a no-longer-global batch_size.
+            # JAX_NUM_PROCESSES=1 is the one legitimately single-process case.
             raise RuntimeError(
-                "tpu.multihost=True with JAX_COORDINATOR_ADDRESS set, but "
+                "JAX_COORDINATOR_ADDRESS is set (multi-process launch), but "
                 "jax.distributed did not reach process_count>1 — coordinator "
-                "unreachable, JAX_NUM_PROCESSES=1, or the backend was already "
-                "initialized single-process."
+                "unreachable, JAX_NUM_PROCESSES unset/1, or the backend was "
+                "already initialized single-process."
             )
         return active
     # Explicit multihost opt-in without coordinator coords: use JAX's own
@@ -104,13 +108,23 @@ def maybe_init_distributed(args) -> bool:
     try:
         jax.distributed.initialize()
     except Exception as e:
-        raise RuntimeError(
-            "tpu.multihost=True but jax.distributed auto-detection failed and "
-            "no coordinator coords were given. Either launch with "
-            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set "
-            "per host, or run on a Cloud TPU pod slice where auto-detection "
-            "works, or drop tpu.multihost=True for a single-process run."
-        ) from e
+        # A launcher may already have called jax.distributed.initialize()
+        # itself (standard pod workflow) — the re-initialize raises, but the
+        # setup is valid if the backend is genuinely multi-process.
+        already_multi = False
+        try:
+            already_multi = jax.process_count() > 1
+        except Exception:
+            pass
+        if not already_multi:
+            raise RuntimeError(
+                "tpu.multihost=True but jax.distributed auto-detection failed "
+                "and no coordinator coords were given. Either launch with "
+                "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID "
+                "set per host, or run on a Cloud TPU pod slice where "
+                "auto-detection works, or drop tpu.multihost=True for a "
+                "single-process run."
+            ) from e
     if jax.process_count() <= 1:
         raise RuntimeError(
             "tpu.multihost=True but jax.distributed initialized single-process "

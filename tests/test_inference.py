@@ -52,6 +52,38 @@ def test_decoder_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_channels_last_retrieval_matches_reference_orientation(rng):
+    """A channels-last encoder emits (B, T, F) but the bank keeps the
+    reference (N, F, T) layout: set_bank must align flatten orders, or the
+    cosine compares differently-permuted vectors (F=16 != T=30 makes any
+    mix-up change the ranking)."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    kw = dict(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    enc_cl = BrainEncoder(channels_last_io=True, **kw)
+    enc_ref = BrainEncoder(channels_last_io=False, **kw)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc_ref, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    bank = rng.normal(size=(10, F, T)).astype(np.float32)
+
+    dec_ref = SpeechDecoder(
+        enc_ref, state.params["encoder"], state.batch_stats,
+        bank=jnp.asarray(bank), use_fused_blocks=False,
+    )
+    dec_cl = SpeechDecoder(
+        enc_cl, state.params["encoder"], state.batch_stats,
+        bank=jnp.asarray(bank), use_fused_blocks=False,
+    )
+    # same trained params, same bank -> identical rankings and scores, even
+    # though encode emits transposed layouts
+    s_ref, i_ref = dec_ref.decode(X, np.zeros(B, np.int32), k=3)
+    Xcl = np.swapaxes(X, -1, -2)  # channels-last public input is (B, T, C)
+    s_cl, i_cl = dec_cl.decode(Xcl, np.zeros(B, np.int32), k=3)
+    np.testing.assert_array_equal(i_cl, i_ref)
+    np.testing.assert_allclose(s_cl, s_ref, atol=1e-5)
+
+
 def test_fused_serving_path_matches_flax(tmp_path, rng):
     """SpeechDecoder with the fused Pallas ConvBlocks (interpret on CPU) ==
     the plain flax encode."""

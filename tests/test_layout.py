@@ -112,6 +112,43 @@ def test_legacy_npy_upgraded_by_mne(tmp_path, capsys, monkeypatch):
     assert (cache_dir / "layout_2d.npz").exists()
 
 
+def test_torn_cache_files_never_crash(tmp_path, capsys):
+    """A torn/corrupt cache (concurrent multi-host writer, killed process) is
+    'no cache', never a crash: zip-magic garbage raises BadZipFile and a
+    truncated npy raises EOFError — both must fall through to recompute."""
+    cache_dir = tmp_path / "data" / "Brennan2018"
+    os.makedirs(cache_dir)
+    # zip magic + garbage: np.load raises zipfile.BadZipFile
+    (cache_dir / "layout_2d.npz").write_bytes(b"PK\x03\x04" + b"\x00" * 16)
+    # truncated npy header: EOFError/ValueError
+    (cache_dir / "layout_2d.npy").write_bytes(b"\x93NUMPY\x01\x00")
+
+    loc = layout.ch_locations_2d("Brennan2018", str(tmp_path))
+    assert loc.shape == (60, 2)
+    assert "NOT exact" in capsys.readouterr().out
+    # the torn npz was replaced by a valid tagged cache
+    with np.load(cache_dir / "layout_2d.npz") as z:
+        assert str(z["source"]) == "fallback"
+
+
+def test_write_cache_failure_leaks_no_tmp_files(tmp_path, monkeypatch):
+    """A failed cache write (full/readonly disk mid-savez) must clean up its
+    temp file and report False."""
+    cache_dir = tmp_path / "cache"
+    os.makedirs(cache_dir)
+
+    def boom(f, **kw):
+        f.write(b"partial")
+        raise OSError("disk full")
+
+    monkeypatch.setattr(np, "savez", boom)
+    ok = layout._write_cache(
+        str(cache_dir), np.zeros((60, 2), np.float32), "fallback"
+    )
+    assert ok is False
+    assert os.listdir(cache_dir) == []  # no layout_2d.npz, no tmp leftovers
+
+
 def test_mne_failure_falls_back_with_warning(tmp_path, capsys, monkeypatch):
     # MNE importable but raising (e.g. missing BIDS tree) -> fallback + warning.
     def boom(dataset, root):

@@ -342,3 +342,56 @@ def test_multihost_flag_env_coords_init_failure_fails_loudly(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fail)
     with pytest.raises(RuntimeError, match="did not reach"):
         maybe_init_distributed(_Args(True))
+
+
+def test_env_coords_without_flag_also_fails_loudly(monkeypatch):
+    """Setting the JAX_* env vars IS an explicit multi-process launch (the
+    docstring's second activation mode): a swallowed init failure must fail
+    loudly even when tpu.multihost is unset — otherwise each pod host
+    silently demotes to an independent single-process primary."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+
+    def fail(*a, **k):
+        raise RuntimeError("unreachable coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    with pytest.raises(RuntimeError, match="did not reach"):
+        maybe_init_distributed(_Args(False))
+
+
+def test_env_coords_num_processes_one_is_legitimate(monkeypatch):
+    """JAX_NUM_PROCESSES=1 is the one legitimately single-process env launch
+    (a pod launcher templating env vars onto a 1-host slice): no raise."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: None)
+    assert maybe_init_distributed(_Args(False)) is False
+
+
+def test_multihost_flag_tolerates_prior_launcher_init(monkeypatch):
+    """A launcher that already ran jax.distributed.initialize() itself makes
+    the in-run re-initialize raise; the run is still valid if the backend is
+    genuinely multi-process and must NOT abort."""
+    import jax
+
+    from speech_decoding_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+
+    def already(*a, **k):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    monkeypatch.setattr(multihost.jax, "process_count", lambda: 4)
+    assert multihost.maybe_init_distributed(_Args(True)) is True

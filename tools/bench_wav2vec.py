@@ -12,6 +12,10 @@ audio-seconds per second.
 The reference embeds audio on CPU/GPU inside its ~30-min 20-core pipeline
 [ref: README.md:26]; this records the TPU-native number for the same model.
 
+``measure_embed_rate`` is the ONE timing implementation — bench.py imports
+it, so any future timing-methodology fix (this harness's block_until_ready
+no-op cost one already) lands in both surfaces at once.
+
     python tools/bench_wav2vec.py [batch_secs] [dtype]
 """
 
@@ -25,20 +29,25 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-import numpy as np
 
+def measure_embed_rate(
+    batch: int = 16,
+    dtype_name: str = "bfloat16",
+    warmup: int = 6,
+    rounds: int = 3,
+    reps: int = 10,
+    log=None,
+) -> float:
+    """Audio-seconds/s for last-4-layer-mean embedding of ``batch`` 1-s clips.
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16  # 1-s clips per batch
-    dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-
+    Timing on this relayed backend must chain reps through the previous
+    result and fetch a VALUE — block_until_ready is a no-op on the tunnel.
+    Returns the best per-call rate over ``rounds`` timed rounds.
+    """
     import jax
     import jax.numpy as jnp
 
-    from speech_decoding_tpu.models.wav2vec2 import (
-        Wav2Vec2Config,
-        Wav2Vec2Model,
-    )
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 
     cfg = Wav2Vec2Config()  # xlsr-53 full scale
     model = Wav2Vec2Model(cfg)
@@ -47,8 +56,9 @@ def main():
 
     t0 = time.perf_counter()
     variables = jax.jit(lambda k, x: model.init(k, x))(jax.random.PRNGKey(1), wav[:1])
-    n_params = sum(x.size for x in jax.tree.leaves(variables))
-    print(f"init: {n_params / 1e6:.0f}M params in {time.perf_counter() - t0:.1f}s")
+    if log:
+        n_params = sum(x.size for x in jax.tree.leaves(variables))
+        log(f"init: {n_params / 1e6:.0f}M params in {time.perf_counter() - t0:.1f}s")
 
     dt = jnp.dtype(dtype_name)
     if dt != jnp.float32:
@@ -57,36 +67,41 @@ def main():
         )
         wav = wav.astype(dt)
 
-    # Timing on this relayed backend must chain reps through the previous
-    # result and fetch a VALUE — block_until_ready is a no-op on the tunnel.
     @jax.jit
     def last4_chained(v, x, carry):
         bump = carry.astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
         _, hidden = model.apply(v, x + bump, output_hidden_states=True)
         out = jnp.mean(jnp.stack(hidden[-4:]), axis=0)
-        return out, out[0, 0, 0].astype(jnp.float32)
+        return out[0, 0, 0].astype(jnp.float32)
 
     t0 = time.perf_counter()
-    out, carry = last4_chained(variables, wav, jnp.float32(0))
+    carry = last4_chained(variables, wav, jnp.float32(0))
     float(carry)
-    print(f"compile+first run: {time.perf_counter() - t0:.1f}s out={out.shape} {out.dtype}")
+    if log:
+        log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    for _ in range(5):
-        out, carry = last4_chained(variables, wav, carry)
+    for _ in range(warmup):
+        carry = last4_chained(variables, wav, carry)
     float(carry)
     best = float("inf")
-    for _ in range(3):
-        n = 10
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(n):
-            out, carry = last4_chained(variables, wav, carry)
+        for _ in range(reps):
+            carry = last4_chained(variables, wav, carry)
         float(carry)  # forces the whole chain
-        best = min(best, (time.perf_counter() - t0) / n)
-    audio_sec = batch * (SR / SR)  # batch 1-s clips per call
-    print(
-        f"xlsr-53 {dtype_name} embed: {best * 1e3:.2f} ms / {audio_sec:.0f} audio-s "
-        f"-> {audio_sec / best:.0f} audio-s/s"
-    )
+        best = min(best, (time.perf_counter() - t0) / reps)
+    if log:
+        log(
+            f"xlsr-53 {dtype_name} embed: {best * 1e3:.2f} ms / {batch} audio-s "
+            f"-> {batch / best:.0f} audio-s/s"
+        )
+    return batch / best  # batch 1-s clips per call
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16  # 1-s clips per batch
+    dtype_name = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    measure_embed_rate(batch, dtype_name, log=print)
 
 
 if __name__ == "__main__":
