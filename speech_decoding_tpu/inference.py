@@ -9,7 +9,12 @@ checkpoints [ref: train.py:259]). For deployment this module provides:
   * ``retrieve`` — top-k candidate speech segments for each brain segment
     against the bank (the Classifier's similarity, as a serving op; Pallas
     streaming kernel on TPU for large banks);
-  * ``decode`` — encode + retrieve in one call.
+  * ``decode`` — encode + retrieve in one call;
+  * ``bank_from_audio`` — build the candidate bank directly from raw audio
+    clips with the flax wav2vec2 (the training audio pipeline's embed chain
+    [ref: dataclass/gwilliams2022.py:327-387] as a serving op);
+  * ``SpeechDecoder.decode_stream`` — sliding-window decoding of a
+    continuous recording.
 
 All compute is jitted once and reused across requests; the bank is
 device-resident.
@@ -39,6 +44,62 @@ def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
     sim = jnp.matmul(z, bank_norm.T, preferred_element_type=jnp.float32)
     return jax.lax.top_k(sim, k)
+
+
+def bank_from_audio(
+    wav2vec,
+    waveforms: np.ndarray,
+    sample_rate: int,
+    segment_len: int,
+    brain_rate: float = 120.0,
+    audio_rate: int = 16000,
+    lowpass_filter_width: int = 6,
+    batch_size: int = 16,
+) -> np.ndarray:
+    """Raw candidate audio clips -> a (N, F, segment_len) retrieval bank.
+
+    Runs the training audio pipeline's embed chain per clip
+    [ref: dataclass/gwilliams2022.py:327-387]: windowed-sinc resample to
+    ``audio_rate`` -> wav2vec2 last-4-layer mean -> FFT resample from the
+    model's frame rate to ``brain_rate`` -> crop/zero-pad to ``segment_len``.
+    The result is ``SpeechDecoder.set_bank``-ready (reference (N, F, T)
+    layout [ref: models.py:226]).
+
+    ``waveforms`` is (N, L) mono f32, all clips the same length (static
+    shapes: one wav2vec compile, reused across ``batch_size`` chunks).
+
+    Note: the training pipeline embeds the CONTINUOUS stimulus and slices
+    segments out of the embedding; per-clip embedding (this op) differs
+    slightly near clip edges (the conv extractor's receptive field). For a
+    bank bit-identical to training targets, slice the dataset's cached Y
+    instead; this op is for serving novel candidate audio.
+    """
+    from speech_decoding_tpu.ops.resample import fft_resample, sinc_resample
+
+    waveforms = np.asarray(waveforms, np.float32)
+    assert waveforms.ndim == 2, f"(N, L) mono clips expected, got {waveforms.shape}"
+    n = waveforms.shape[0]
+    outs = []
+    for i in range(0, n, batch_size):
+        wav = jnp.asarray(waveforms[i : i + batch_size])
+        if sample_rate != audio_rate:
+            wav = sinc_resample(
+                wav, sample_rate, audio_rate,
+                lowpass_filter_width=lowpass_filter_width,
+            )
+        emb = wav2vec.last4_mean(wav)  # (b, T_emb, F)
+        emb = jnp.swapaxes(emb, -1, -2)  # (b, F, T_emb)
+        # frame rate of the embedding, from realized lengths (the conv
+        # extractor's stride product is not exactly 320 at every length)
+        rate_after = audio_rate * emb.shape[-1] / wav.shape[-1]
+        emb = fft_resample(emb, up=float(brain_rate) / rate_after)
+        t = emb.shape[-1]
+        if t >= segment_len:
+            emb = emb[..., :segment_len]
+        else:
+            emb = jnp.pad(emb, ((0, 0), (0, 0), (0, segment_len - t)))
+        outs.append(np.asarray(emb, np.float32))
+    return np.concatenate(outs, axis=0)
 
 
 def _gelu_dense(h: Array, conv_params, dtype) -> Array:
@@ -172,3 +233,45 @@ class SpeechDecoder:
     ) -> Tuple[np.ndarray, np.ndarray]:
         scores, ids = self.retrieve(self.encode(X, subject_idxs), k)
         return np.asarray(scores), np.asarray(ids)
+
+    def decode_stream(
+        self,
+        X: np.ndarray,
+        subject_idx: int,
+        segment_len: int,
+        hop: Optional[int] = None,
+        k: int = 10,
+        batch_size: int = 64,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sliding-window decoding of one CONTINUOUS recording.
+
+        ``X`` is the preprocessed recording — (C, T_total), or (T_total, C)
+        when the encoder is channels-last — windowed into segments of
+        ``segment_len`` samples every ``hop`` samples (default: segment_len,
+        non-overlapping), batch-decoded against the bank. Returns
+        (scores (W, k), ids (W, k), onsets (W,) in samples). The final
+        partial batch is zero-padded to ``batch_size`` so the whole stream
+        reuses ONE compiled program (XLA recompiles per shape), then trimmed.
+        """
+        assert self._bank_norm is not None, "call set_bank() first"
+        X = np.asarray(X, np.float32)
+        assert X.ndim == 2, f"one continuous recording expected, got {X.shape}"
+        time_axis = 0 if self.encoder.channels_last_io else 1
+        total = X.shape[time_axis]
+        hop = segment_len if hop is None else int(hop)
+        assert hop >= 1 and total >= segment_len, (total, segment_len, hop)
+        onsets = np.arange(0, total - segment_len + 1, hop)
+        windows = np.stack(
+            [np.take(X, np.arange(o, o + segment_len), axis=time_axis) for o in onsets]
+        )
+        scores, ids = [], []
+        for i in range(0, len(onsets), batch_size):
+            w = windows[i : i + batch_size]
+            pad = batch_size - w.shape[0]
+            if pad:
+                w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
+            sidx = np.full((batch_size,), subject_idx, np.int32)
+            s, t = self.retrieve(self.encode(w, sidx), k)
+            scores.append(np.asarray(s)[: batch_size - pad])
+            ids.append(np.asarray(t)[: batch_size - pad])
+        return np.concatenate(scores), np.concatenate(ids), onsets

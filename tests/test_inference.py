@@ -102,3 +102,116 @@ def test_fused_serving_path_matches_flax(tmp_path, rng):
     Z1 = np.asarray(dec_flax.encode(X, np.zeros(B, np.int32)))
     Z2 = np.asarray(dec_fused.encode(X, np.zeros(B, np.int32)))
     np.testing.assert_allclose(Z2, Z1, rtol=1e-4, atol=1e-5)
+
+
+def test_bank_from_audio_matches_manual_embed_chain(rng):
+    """bank_from_audio == sinc-free manual chain (last4 mean -> FFT resample
+    to brain rate -> crop/pad), including across batch_size chunking (the
+    wav2vec forward is per-sample independent)."""
+    from speech_decoding_tpu.inference import bank_from_audio
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+    from speech_decoding_tpu.models.wav2vec_util import FrozenWav2Vec2
+    from speech_decoding_tpu.ops.resample import fft_resample
+
+    cfg = Wav2Vec2Config.tiny()
+    model = Wav2Vec2Model(cfg)
+    L = 1600  # 0.1 s at 16 kHz -> 79 frames (790 Hz) -> 12 samples at 120 Hz
+    wav = (rng.normal(size=(3, L)) * 0.1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(wav[:1]))
+    w2v = FrozenWav2Vec2(cfg, variables)
+
+    emb = np.swapaxes(np.asarray(w2v.last4_mean(jnp.asarray(wav))), -1, -2)
+    rate_after = 16000 * emb.shape[-1] / L
+    man = np.asarray(fft_resample(jnp.asarray(emb), up=120.0 / rate_after))
+    assert man.shape[-1] == 12
+
+    # crop branch (batch_size=2 forces a 2+1 chunk split)
+    bank = bank_from_audio(w2v, wav, 16000, segment_len=10, batch_size=2)
+    assert bank.shape == (3, cfg.hidden_size, 10)
+    np.testing.assert_allclose(bank, man[..., :10], rtol=1e-5, atol=1e-6)
+    # pad branch
+    bank15 = bank_from_audio(w2v, wav, 16000, segment_len=15, batch_size=2)
+    np.testing.assert_allclose(bank15[..., :12], man, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(bank15[..., 12:], 0.0)
+
+
+def test_bank_from_audio_resamples_source_rate(rng):
+    """A non-16k source rate goes through the windowed-sinc resampler first
+    [ref: dataclass/gwilliams2022.py:344-351]."""
+    from speech_decoding_tpu.inference import bank_from_audio
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+    from speech_decoding_tpu.models.wav2vec_util import FrozenWav2Vec2
+    from speech_decoding_tpu.ops.resample import sinc_resample
+
+    cfg = Wav2Vec2Config.tiny()
+    model = Wav2Vec2Model(cfg)
+    wav = (rng.normal(size=(2, 800)) * 0.1).astype(np.float32)  # 0.1 s at 8 kHz
+    w16 = np.asarray(sinc_resample(jnp.asarray(wav), 8000, 16000))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(w16[:1]))
+    w2v = FrozenWav2Vec2(cfg, variables)
+
+    a = bank_from_audio(w2v, wav, 8000, segment_len=10)
+    b = bank_from_audio(w2v, w16, 16000, segment_len=10)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_decode_stream_self_retrieval(rng):
+    """Sliding-window decoding: each window of a continuous recording
+    retrieves its own bank entry top-1 (cosine 1), onsets are correct, and
+    the zero-padded final partial batch is trimmed.
+
+    The encoder is briefly TRAINED on the windows first: a freshly
+    initialized encoder maps every input to nearly one embedding direction
+    (pairwise cosines ~1-4e-7), so untrained self-retrieval would be decided
+    by float noise between batch compositions."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    X_cont = rng.normal(size=(C, 100)).astype(np.float32)
+    seg, hop = T, 10
+    exp_onsets = np.arange(0, 100 - seg + 1, hop)  # 8 windows
+    windows = np.stack([X_cont[:, o : o + seg] for o in exp_onsets])
+    nw = len(exp_onsets)
+
+    from speech_decoding_tpu.training import make_train_step
+
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(windows), jnp.zeros((nw,), jnp.int32)
+    )
+    batch = {
+        "X": jnp.asarray(windows),
+        "Y": jax.random.normal(jax.random.PRNGKey(2), (nw, F, seg)),
+        "subject_idxs": jnp.zeros((nw,), jnp.int32),
+    }
+    train_step = make_train_step(enc, donate=False)
+    for i in range(40):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+    assert float(metrics["top1"]) == 1.0  # embeddings are now discriminative
+
+    dec = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    dec.set_bank(dec.encode(windows, np.zeros(nw, np.int32)))
+
+    # batch_size=3 -> final batch has 2 real + 1 padded window
+    scores, ids, onsets = dec.decode_stream(
+        X_cont, 0, seg, hop=hop, k=3, batch_size=3
+    )
+    np.testing.assert_array_equal(onsets, exp_onsets)
+    assert scores.shape == (len(exp_onsets), 3) and ids.shape == scores.shape
+    np.testing.assert_array_equal(ids[:, 0], np.arange(len(exp_onsets)))
+    np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-5)
+
+    # channels-last encoder on the transposed stream: identical rankings
+    enc_cl = BrainEncoder(
+        num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4, channels_last_io=True
+    )
+    dec_cl = SpeechDecoder(
+        enc_cl, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    dec_cl.set_bank(dec.bank)  # (W, F, T) reference layout, auto-transposed
+    s_cl, i_cl, o_cl = dec_cl.decode_stream(
+        X_cont.T, 0, seg, hop=hop, k=3, batch_size=3
+    )
+    np.testing.assert_array_equal(o_cl, exp_onsets)
+    np.testing.assert_array_equal(i_cl, ids)
+    np.testing.assert_allclose(s_cl, scores, atol=1e-5)
