@@ -275,7 +275,7 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
 
         @jax.jit
         def chained(X, sidx, bank_norm, carry):
-            Z = dec._encode(X + carry.astype(X.dtype) * 1e-30, sidx)
+            Z = dec.encode_fn(X + carry.astype(X.dtype) * 1e-30, sidx)
             scores, _ids = retrieve_topk(Z, bank_norm, 10)
             return scores[0, 0].astype(jnp.float32)
 

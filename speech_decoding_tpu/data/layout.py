@@ -122,13 +122,15 @@ def _load_cached(cache_dir: str, n_ch: int):
     try:
         with np.load(npz_path, allow_pickle=False) as z:
             loc, source = z["loc"], str(z["source"])
-        assert loc.shape == (n_ch, 2), loc.shape
+        if loc.shape != (n_ch, 2):  # ValueError: in `torn`, unlike an assert
+            raise ValueError(f"cached layout shape {loc.shape} != ({n_ch}, 2)")
         return loc.astype(np.float32), source
     except torn:
         pass
     try:
         loc = np.load(os.path.join(cache_dir, "layout_2d.npy"))
-        assert loc.shape == (n_ch, 2), loc.shape
+        if loc.shape != (n_ch, 2):
+            raise ValueError(f"cached layout shape {loc.shape} != ({n_ch}, 2)")
         return loc.astype(np.float32), "unknown"
     except torn:
         pass
@@ -147,6 +149,9 @@ def _write_cache(cache_dir: str, loc: np.ndarray, source: str) -> bool:
         fd, tmp = tempfile.mkstemp(dir=cache_dir, prefix="layout_2d.npz.tmp.")
         with os.fdopen(fd, "wb") as f:  # file object: savez can't append ".npz"
             np.savez(f, loc=loc, source=np.asarray(source))
+        # mkstemp creates mode 0600; the cache lives in a (possibly shared)
+        # data dir and must stay readable by other users like a plain write
+        os.chmod(tmp, 0o644)
         os.replace(tmp, final)
         tmp = None
         # Remove a shadowing legacy cache so future loads see the tagged one.

@@ -37,13 +37,15 @@ def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array
     """Top-k candidates per brain embedding: cosine similarity of flattened
     embeddings against L2-normalized bank rows, reference orientation
     [ref: models.py:226-243]. ``bank_norm`` is (N, F*T) row-normalized (see
-    ``SpeechDecoder.set_bank``); returns (scores, ids) each (B, k). Pure —
-    pass ``bank_norm`` as a jit argument (large banks must not be closure
+    ``SpeechDecoder.set_bank``); returns (scores, ids) each (B, min(k, N))
+    — ``k`` is clamped to the bank size (lax.top_k would otherwise fail with
+    a low-level shape error on small candidate sets). Pure — pass
+    ``bank_norm`` as a jit argument (large banks must not be closure
     constants)."""
     z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
     sim = jnp.matmul(z, bank_norm.T, preferred_element_type=jnp.float32)
-    return jax.lax.top_k(sim, k)
+    return jax.lax.top_k(sim, min(int(k), bank_norm.shape[0]))
 
 
 def bank_from_audio(
@@ -79,8 +81,16 @@ def bank_from_audio(
     waveforms = np.asarray(waveforms, np.float32)
     assert waveforms.ndim == 2, f"(N, L) mono clips expected, got {waveforms.shape}"
     n = waveforms.shape[0]
+    # zero-pad the clip COUNT to a batch_size multiple: every chunk then has
+    # the same shape, so the (expensive) wav2vec program compiles once —
+    # embedding is per-sample independent, padded rows are discarded below
+    if n % batch_size:
+        pad_rows = batch_size - n % batch_size
+        waveforms = np.concatenate(
+            [waveforms, np.zeros((pad_rows, waveforms.shape[1]), np.float32)]
+        )
     outs = []
-    for i in range(0, n, batch_size):
+    for i in range(0, waveforms.shape[0], batch_size):
         wav = jnp.asarray(waveforms[i : i + batch_size])
         if sample_rate != audio_rate:
             wav = sinc_resample(
@@ -99,7 +109,7 @@ def bank_from_audio(
         else:
             emb = jnp.pad(emb, ((0, 0), (0, 0), (0, segment_len - t)))
         outs.append(np.asarray(emb, np.float32))
-    return np.concatenate(outs, axis=0)
+    return np.concatenate(outs, axis=0)[:n]
 
 
 def _gelu_dense(h: Array, conv_params, dtype) -> Array:
@@ -159,9 +169,9 @@ class SpeechDecoder:
                 h = _gelu_dense(h, params["conv_final2"], encoder.compute_dtype)
                 return h if cl else jnp.swapaxes(h, -1, -2)
 
-            self._encode = jax.jit(encode_fn)
+            self.encode_fn = jax.jit(encode_fn)
         else:
-            self._encode = jax.jit(
+            self.encode_fn = jax.jit(
                 lambda X, sidx: encoder.apply(self._variables, X, sidx, train=False)
             )
         self.bank = None
@@ -208,9 +218,22 @@ class SpeechDecoder:
         The flatten order must match ``encode``'s output layout: a
         channels-last encoder emits (B, T, F), so the bank is transposed to
         (N, T, F) before flattening — otherwise the cosine similarity would
-        compare differently-permuted vectors."""
-        self.bank = bank
+        compare differently-permuted vectors. A channels-last ``encode``
+        output passed here directly (the self-bank idiom) is therefore
+        (N, T, F), the WRONG layout — that mix-up is detected by the
+        feature-axis check below and raises instead of silently mis-ranking
+        (swap the last two axes first)."""
         bank = jnp.asarray(bank, jnp.float32)
+        nf = self.encoder.F
+        if bank.ndim != 3 or (
+            bank.shape[1] != nf and bank.shape[2] == nf
+        ):
+            raise ValueError(
+                f"bank must be reference layout (N, F={nf}, T), got "
+                f"{bank.shape} — an (N, T, F) array (e.g. a channels-last "
+                "encode() output): jnp.swapaxes(bank, -1, -2) first"
+            )
+        self.bank = bank
         if self.encoder.channels_last_io:
             bank = jnp.swapaxes(bank, -1, -2)
         flat = jnp.reshape(bank, (bank.shape[0], -1))
@@ -219,7 +242,7 @@ class SpeechDecoder:
 
     def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
         """Brain segments (B, C, T) -> embeddings (B, F, T), eval mode."""
-        return self._encode(jnp.asarray(X), jnp.asarray(subject_idxs, jnp.int32))
+        return self.encode_fn(jnp.asarray(X), jnp.asarray(subject_idxs, jnp.int32))
 
     def retrieve(self, Z: Array, k: int = 10) -> Tuple[Array, Array]:
         """Top-k bank candidates per brain embedding: returns (scores, ids)
@@ -261,16 +284,24 @@ class SpeechDecoder:
         hop = segment_len if hop is None else int(hop)
         assert hop >= 1 and total >= segment_len, (total, segment_len, hop)
         onsets = np.arange(0, total - segment_len + 1, hop)
-        windows = np.stack(
-            [np.take(X, np.arange(o, o + segment_len), axis=time_axis) for o in onsets]
-        )
+
+        def window(o):  # plain slice, no copy until np.stack
+            return (
+                X[o : o + segment_len] if time_axis == 0 else X[:, o : o + segment_len]
+            )
+
         scores, ids = [], []
+        sidx = np.full((batch_size,), subject_idx, np.int32)
+        # windows are materialized ONE BATCH at a time: stacking all W
+        # windows up front would copy W × C × segment_len floats (~130 GB
+        # for an hour-long recording at hop=1) when only batch_size are
+        # ever in flight
         for i in range(0, len(onsets), batch_size):
-            w = windows[i : i + batch_size]
+            chunk = onsets[i : i + batch_size]
+            w = np.stack([window(o) for o in chunk])
             pad = batch_size - w.shape[0]
             if pad:
                 w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
-            sidx = np.full((batch_size,), subject_idx, np.int32)
             s, t = self.retrieve(self.encode(w, sidx), k)
             scores.append(np.asarray(s)[: batch_size - pad])
             ids.append(np.asarray(t)[: batch_size - pad])

@@ -84,7 +84,7 @@ def maybe_init_distributed(args) -> bool:
             num_processes=int(nproc) if nproc else None,
             process_id=int(pid) if pid is not None else None,
         )
-        if not active and nproc != "1":
+        if not active and (want or nproc != "1"):
             # the fail-loudly guarantee must hold on the env-coords path too
             # (whether activated by tpu.multihost=True or by the env vars
             # alone — both are explicit multi-process launches): a swallowed
@@ -92,7 +92,10 @@ def maybe_init_distributed(args) -> bool:
             # single-process init) would otherwise demote every pod host to
             # an independent single-process primary with duplicate W&B runs,
             # concurrent checkpoint writes, and a no-longer-global batch_size.
-            # JAX_NUM_PROCESSES=1 is the one legitimately single-process case.
+            # JAX_NUM_PROCESSES=1 WITHOUT tpu.multihost=True is the one
+            # legitimately single-process env launch (a pod launcher
+            # templating env vars onto a 1-host slice); with the explicit
+            # flag, a 1-process outcome is always a misconfiguration.
             raise RuntimeError(
                 "JAX_COORDINATOR_ADDRESS is set (multi-process launch), but "
                 "jax.distributed did not reach process_count>1 — coordinator "

@@ -215,3 +215,40 @@ def test_decode_stream_self_retrieval(rng):
     np.testing.assert_array_equal(o_cl, exp_onsets)
     np.testing.assert_array_equal(i_cl, ids)
     np.testing.assert_allclose(s_cl, scores, atol=1e-5)
+
+
+def test_set_bank_rejects_channels_last_self_bank(rng):
+    """set_bank must fail loudly on an (N, T, F) array — e.g. a channels-last
+    encode() output passed directly — instead of silently mis-ranking."""
+    import pytest
+
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(
+        num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4, channels_last_io=True
+    )
+    X = rng.normal(size=(B, T, C)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    dec = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    Z = dec.encode(X, np.zeros(B, np.int32))  # (B, T, F) channels-last
+    assert Z.shape == (B, T, F)
+    with pytest.raises(ValueError, match="swapaxes"):
+        dec.set_bank(Z)
+    dec.set_bank(jnp.swapaxes(Z, -1, -2))  # documented fix works
+    s, _ = dec.decode(X, np.zeros(B, np.int32), k=1)
+    np.testing.assert_allclose(s[:, 0], 1.0, atol=1e-5)
+
+
+def test_retrieve_topk_clamps_k_to_bank_size(rng):
+    """k > N candidate segments: clamp to N instead of a low-level lax.top_k
+    shape error (small serving banks hit the k=10 default immediately)."""
+    from speech_decoding_tpu.inference import retrieve_topk
+
+    Z = jnp.asarray(rng.normal(size=(3, F, T)), jnp.float32)
+    bank = rng.normal(size=(4, F * T)).astype(np.float32)
+    bank_norm = bank / np.linalg.norm(bank, axis=-1, keepdims=True)
+    scores, ids = retrieve_topk(Z, jnp.asarray(bank_norm), k=10)
+    assert scores.shape == (3, 4) and ids.shape == (3, 4)

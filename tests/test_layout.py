@@ -159,3 +159,28 @@ def test_mne_failure_falls_back_with_warning(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "falling back" in out and "NOT exact" in out
     assert loc.shape == (208, 2)
+
+
+def test_wrong_shape_cache_falls_through(tmp_path, capsys):
+    """A structurally valid cache holding a wrong-shape array (stale file
+    from another tool/dataset) is 'no cache': recompute, don't crash."""
+    cache_dir = tmp_path / "data" / "Brennan2018"
+    os.makedirs(cache_dir)
+    np.savez(
+        cache_dir / "layout_2d.npz",
+        loc=np.zeros((208, 2), np.float32),  # Gwilliams shape, not Brennan's 60
+        source=np.asarray("mne"),
+    )
+    loc = layout.ch_locations_2d("Brennan2018", str(tmp_path))
+    assert loc.shape == (60, 2)
+    assert "NOT exact" in capsys.readouterr().out
+
+
+def test_cache_file_is_world_readable(tmp_path):
+    """mkstemp creates 0600; the shared-data-dir cache must end up 0644 or a
+    different user's np.load would fail (silently, via the torn-cache
+    tolerance) and silently degrade exactness."""
+    cache_dir = tmp_path / "cache"
+    assert layout._write_cache(str(cache_dir), np.zeros((60, 2), np.float32), "mne")
+    mode = os.stat(cache_dir / "layout_2d.npz").st_mode & 0o777
+    assert mode == 0o644, oct(mode)

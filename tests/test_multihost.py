@@ -395,3 +395,19 @@ def test_multihost_flag_tolerates_prior_launcher_init(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", already)
     monkeypatch.setattr(multihost.jax, "process_count", lambda: 4)
     assert multihost.maybe_init_distributed(_Args(True)) is True
+
+
+def test_multihost_flag_env_nproc_one_still_raises(monkeypatch):
+    """tpu.multihost=True is an explicit multi-process request: even the
+    otherwise-legitimate JAX_NUM_PROCESSES=1 env launch must fail loudly
+    when the run stays single-process under the flag."""
+    import jax
+
+    from speech_decoding_tpu.parallel.multihost import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="did not reach"):
+        maybe_init_distributed(_Args(True))
