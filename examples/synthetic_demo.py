@@ -80,6 +80,27 @@ def main():
     print(f"top-5 retrieval against the full bank: {hits:.2f} "
           f"(chance ≈ {5 / len(ds.Y):.2f})")
 
+    # --- serving novel candidate audio + a continuous recording ---
+    # bank_from_audio: raw clips -> (N, F, T) bank through the (tiny) flax
+    # wav2vec2, i.e. the training audio chain as a serving op; decode_stream:
+    # slide a window over a continuous recording and rank every window
+    # against the bank with one compiled program.
+    from speech_decoding_tpu.inference import bank_from_audio
+
+    seg_len = batch["X"].shape[-1]
+    clips = (rng.normal(size=(6, 4000)) * 0.1).astype(np.float32)  # 0.25 s @16k
+    bank = bank_from_audio(
+        tiny_wav2vec(), clips, 16000, segment_len=seg_len,
+        last4layers=False,  # match the training flag above (tiny F=16)
+    )
+    dec.set_bank(jax.numpy.asarray(bank))
+    X_cont = np.concatenate([batch["X"][i] for i in range(4)], axis=-1)
+    s, i, onsets = dec.decode_stream(
+        X_cont, 0, seg_len, hop=seg_len // 2, k=3, batch_size=4
+    )
+    print(f"stream decode: {len(onsets)} windows over {X_cont.shape[-1]} "
+          f"samples -> top-3 ids per window, e.g. onset 0 -> {i[0].tolist()}")
+
 
 if __name__ == "__main__":
     main()

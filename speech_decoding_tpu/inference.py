@@ -57,15 +57,19 @@ def bank_from_audio(
     audio_rate: int = 16000,
     lowpass_filter_width: int = 6,
     batch_size: int = 16,
+    last4layers: bool = True,
 ) -> np.ndarray:
     """Raw candidate audio clips -> a (N, F, segment_len) retrieval bank.
 
     Runs the training audio pipeline's embed chain per clip
     [ref: dataclass/gwilliams2022.py:327-387]: windowed-sinc resample to
-    ``audio_rate`` -> wav2vec2 last-4-layer mean -> FFT resample from the
-    model's frame rate to ``brain_rate`` -> crop/zero-pad to ``segment_len``.
-    The result is ``SpeechDecoder.set_bank``-ready (reference (N, F, T)
-    layout [ref: models.py:226]).
+    ``audio_rate`` -> wav2vec2 last-4-layer mean (or the conv
+    feature-extractor path when ``last4layers=False``, mirroring the
+    ``preprocs.last4layers`` training flag [ref: brennan2018.py:187-189]) ->
+    FFT resample from the model's frame rate to ``brain_rate`` ->
+    crop/zero-pad to ``segment_len``. The result is
+    ``SpeechDecoder.set_bank``-ready (reference (N, F, T) layout
+    [ref: models.py:226]); its feature dim must match the encoder's F.
 
     ``waveforms`` is (N, L) mono f32, all clips the same length (static
     shapes: one wav2vec compile, reused across ``batch_size`` chunks).
@@ -97,7 +101,8 @@ def bank_from_audio(
                 wav, sample_rate, audio_rate,
                 lowpass_filter_width=lowpass_filter_width,
             )
-        emb = wav2vec.last4_mean(wav)  # (b, T_emb, F)
+        emb = wav2vec.last4_mean(wav) if last4layers else wav2vec.features(wav)
+        # (b, T_emb, F)
         emb = jnp.swapaxes(emb, -1, -2)  # (b, F, T_emb)
         # frame rate of the embedding, from realized lengths (the conv
         # extractor's stride product is not exactly 320 at every length)
@@ -225,13 +230,16 @@ class SpeechDecoder:
         (swap the last two axes first)."""
         bank = jnp.asarray(bank, jnp.float32)
         nf = self.encoder.F
-        if bank.ndim != 3 or (
-            bank.shape[1] != nf and bank.shape[2] == nf
-        ):
+        if bank.ndim != 3 or bank.shape[1] != nf:
+            hint = (
+                " — an (N, T, F) array (e.g. a channels-last encode() "
+                "output): jnp.swapaxes(bank, -1, -2) first"
+                if bank.ndim == 3 and bank.shape[2] == nf
+                else " — the bank's feature dim must equal the encoder's F"
+            )
             raise ValueError(
                 f"bank must be reference layout (N, F={nf}, T), got "
-                f"{bank.shape} — an (N, T, F) array (e.g. a channels-last "
-                "encode() output): jnp.swapaxes(bank, -1, -2) first"
+                f"{tuple(bank.shape)}{hint}"
             )
         self.bank = bank
         if self.encoder.channels_last_io:

@@ -252,3 +252,46 @@ def test_retrieve_topk_clamps_k_to_bank_size(rng):
     bank_norm = bank / np.linalg.norm(bank, axis=-1, keepdims=True)
     scores, ids = retrieve_topk(Z, jnp.asarray(bank_norm), k=10)
     assert scores.shape == (3, 4) and ids.shape == (3, 4)
+
+
+def test_bank_from_audio_features_path(rng):
+    """last4layers=False mirrors the training flag: the conv
+    feature-extractor path (F=conv_dim[-1]) instead of the hidden mean
+    [ref: brennan2018.py:187-189]."""
+    from speech_decoding_tpu.inference import bank_from_audio
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+    from speech_decoding_tpu.models.wav2vec_util import FrozenWav2Vec2
+
+    cfg = Wav2Vec2Config.tiny()
+    model = Wav2Vec2Model(cfg)
+    wav = (rng.normal(size=(2, 1600)) * 0.1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(wav[:1]))
+    w2v = FrozenWav2Vec2(cfg, variables)
+
+    bank = bank_from_audio(w2v, wav, 16000, segment_len=10, last4layers=False)
+    assert bank.shape == (2, cfg.conv_dim[-1], 10)
+    feats = np.swapaxes(np.asarray(w2v.features(jnp.asarray(wav))), -1, -2)
+    from speech_decoding_tpu.ops.resample import fft_resample
+
+    rate_after = 16000 * feats.shape[-1] / 1600
+    man = np.asarray(fft_resample(jnp.asarray(feats), up=120.0 / rate_after))
+    np.testing.assert_allclose(bank, man[..., :10], rtol=1e-5, atol=1e-6)
+
+
+def test_set_bank_rejects_feature_dim_mismatch(rng):
+    """A bank whose feature dim differs from the encoder's F (e.g. built
+    with the wrong last4layers flag) fails loudly at set_bank, not with a
+    cryptic matmul shape error at decode time."""
+    import pytest
+
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    dec = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    with pytest.raises(ValueError, match="feature dim"):
+        dec.set_bank(jnp.asarray(rng.normal(size=(5, F * 2, T)), jnp.float32))
