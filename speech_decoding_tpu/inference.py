@@ -215,10 +215,14 @@ class SpeechDecoder:
 
     # -- serving ops ----------------------------------------------------------
 
-    def set_bank(self, bank: Array) -> None:
+    def set_bank(self, bank: Array, mesh=None) -> None:
         """Install the candidate speech-embedding bank, reference layout
         (N, F, T) [ref: models.py:226]; rows are L2-normalized once,
-        device-resident.
+        device-resident. With ``mesh`` (a jax Mesh with a "data" axis), the
+        normalized bank is sharded over that axis — for banks too large for
+        one chip's HBM (flagship segments are F·T = 369k floats each), GSPMD
+        partitions the (B, N) similarity matmul per shard and gathers only
+        the (B, k) winners across ICI.
 
         The flatten order must match ``encode``'s output layout: a
         channels-last encoder emits (B, T, F), so the bank is transposed to
@@ -247,6 +251,12 @@ class SpeechDecoder:
         flat = jnp.reshape(bank, (bank.shape[0], -1))
         norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
         self._bank_norm = flat / jnp.maximum(norm, 1e-8)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._bank_norm = jax.device_put(
+                self._bank_norm, NamedSharding(mesh, PartitionSpec("data", None))
+            )
 
     def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
         """Brain segments (B, C, T) -> embeddings (B, F, T), eval mode."""

@@ -257,3 +257,59 @@ def test_channel_sharded_preproc_chain_matches_single_device(mesh, rng):
         bandpass_resample_sharded(jnp.asarray(x), sfreq, 1.0, 60.0, 120.0, mesh)
     )
     np.testing.assert_allclose(sharded, dense, rtol=2e-4, atol=2e-5)
+
+
+def test_retrieve_topk_with_bank_sharded_over_mesh(mesh, rng):
+    """Serving against a bank too large for one chip: shard the normalized
+    bank's N axis over the mesh ("data") and jit retrieve_topk with sharded
+    inputs — GSPMD partitions the (B, N) similarity matmul per shard and
+    gathers only the (B, k) winners. Results must equal the single-device
+    call; the replicated-query sharding keeps the per-chip bank slice as the
+    only O(N) resident."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_decoding_tpu.inference import retrieve_topk
+
+    B, Fd, T, N = 4, 16, 30, 64
+    Z = jnp.asarray(rng.normal(size=(B, Fd, T)), jnp.float32)
+    bank = rng.normal(size=(N, Fd * T)).astype(np.float32)
+    bank_norm = jnp.asarray(bank / np.linalg.norm(bank, axis=-1, keepdims=True))
+
+    s_ref, i_ref = retrieve_topk(Z, bank_norm, k=10)
+
+    bank_sharded = jax.device_put(bank_norm, NamedSharding(mesh, P("data", None)))
+    Z_rep = jax.device_put(Z, NamedSharding(mesh, P()))
+    s_sh, i_sh = jax.jit(retrieve_topk, static_argnames=("k",))(
+        Z_rep, bank_sharded, k=10
+    )
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), atol=1e-5)
+
+
+def test_speech_decoder_sharded_bank(mesh, rng):
+    """SpeechDecoder.set_bank(mesh=...) shards the normalized bank over the
+    mesh "data" axis; decode results equal the unsharded decoder."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_decoding_tpu.inference import SpeechDecoder
+
+    B, C, T, Fd = 4, 208, 30, 16
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=Fd, K=4)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    bank = rng.normal(size=(64, Fd, T)).astype(np.float32)
+    dec = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    dec.set_bank(jnp.asarray(bank))
+    s_ref, i_ref = dec.decode(X, np.zeros(B, np.int32), k=5)
+
+    dec.set_bank(jnp.asarray(bank), mesh=mesh)
+    shard_spec = dec._bank_norm.sharding
+    assert shard_spec == NamedSharding(mesh, P("data", None)), shard_spec
+    s_sh, i_sh = dec.decode(X, np.zeros(B, np.int32), k=5)
+    np.testing.assert_array_equal(i_sh, i_ref)
+    np.testing.assert_allclose(s_sh, s_ref, atol=1e-5)
