@@ -105,7 +105,23 @@ class Brennan2018Dataset:
             self.seq_len_samp * self.baseline_len_sec / self.seq_len_sec
         )
         trim_len = (min(self.X.shape[-1], self.Y.shape[-1]) // self.seq_len_samp) * self.seq_len_samp
-        self.num_segments = trim_len // self.seq_len_samp
+        n_intent = trim_len // self.seq_len_samp
+
+        # The reference segments with ``X.split(num_segments, dim=-1)``
+        # [ref: brennan2018.py:103-104] — but torch.split's int argument is a
+        # CHUNK SIZE (numpy.split's is a section count), so the executed
+        # reference actually yields seq_len_samp segments each num_segments
+        # samples long (e.g. 360 segments of ~241 samples ≈ 2 s on the real
+        # data), not num_segments 3-second windows. Our default implements
+        # the documented intent (seq_len_sec windows, like the reference's
+        # own Gwilliams pipeline); ``preprocs.brennan_legacy_split=true``
+        # replicates the executed reference behavior bit-for-bit (proven
+        # against the executed reference in tests/test_pipeline_golden.py).
+        if bool(args.preprocs.get("brennan_legacy_split", False)):
+            self.segment_len = n_intent
+        else:
+            self.segment_len = self.seq_len_samp
+        self.num_segments = trim_len // self.segment_len
         self.X = self.X[..., :trim_len]
         self.Y = self.Y[..., :trim_len]
 
@@ -213,7 +229,7 @@ class Brennan2018Dataset:
         native window copies with fused baseline subtraction."""
         from speech_decoding_tpu.data.native_loader import gather_segments
 
-        L = self.seq_len_samp
+        L = self.segment_len
         onsets = [int(i) * L for i in segment_ids]
         xs = gather_segments(
             [self.X[int(s)] for s in subject_ids],

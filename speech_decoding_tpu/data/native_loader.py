@@ -96,6 +96,9 @@ def gather_segments(
     C-contiguous float32 (C, T_b) arrays."""
     B = len(sources)
     C = sources[0].shape[0]
+    # reference baseline slice `win[..., :baseline_len]` clips to the window
+    # [ref: brennan2018.py:140]; clamp so the native kernel never reads past it
+    baseline_len = min(baseline_len, seq_len)
     if out is None:
         out = np.empty((B, C, seq_len), np.float32)
     lib = get_lib()

@@ -26,7 +26,7 @@ Two paths:
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +177,35 @@ def _ship_raw(r: np.ndarray, transfer_dtype: str) -> Array:
     raise ValueError(f"Unknown transfer_dtype: {transfer_dtype}")
 
 
+def _grouped_exact(
+    recordings: Sequence[np.ndarray],
+    sfreq: float,
+    l_freq: float,
+    h_freq: float,
+    down: float,
+    microbatch: int,
+    to_host: bool,
+    transfer_dtype: str,
+) -> List[np.ndarray]:
+    """Batched ``preprocess_exact`` over length-groups of recordings: exact
+    (separate filter and MNE-grid resample FFTs — bit-identical to the
+    per-recording twin) at ~2x the FFT cost of the fused path. Order is
+    preserved; each equal-length group runs as stacked microbatches."""
+    outs: List = [None] * len(recordings)
+    by_len: Dict[int, List[int]] = {}
+    for idx, r in enumerate(recordings):
+        by_len.setdefault(int(r.shape[-1]), []).append(idx)
+    step = max(int(microbatch), 1)
+    for _, idxs in sorted(by_len.items()):
+        for j in range(0, len(idxs), step):
+            grp = idxs[j : j + step]
+            stacked = jnp.stack([_ship_raw(recordings[k], transfer_dtype) for k in grp])
+            y = preprocess_exact(stacked, sfreq, l_freq, h_freq, down=down)
+            for t, k in enumerate(grp):
+                outs[k] = np.asarray(y[t]) if to_host else y[t]
+    return outs
+
+
 def preprocess_batch(
     recordings: Sequence[np.ndarray],
     sfreq: float,
@@ -229,22 +258,30 @@ def preprocess_batch(
     from fractions import Fraction
 
     fr = Fraction(str(out_rate)) / Fraction(str(sfreq))
-    align = fr.denominator if fr.denominator <= 1000 else 1
+    aligned = fr.denominator <= 1000
+    align = fr.denominator if aligned else 1
     L, plans = _pad_plan([r.shape[-1] for r in recordings], align=align)
     n_out_big = int(round(ratio * L))
     n_out_fetch = -(-n_out_big // 128) * 128  # lane-aligned readback
     taps_np = design_bandpass_fir(sfreq, l_freq, h_freq)
     half = (len(taps_np) - 1) // 2
     min_pad = min(min(pl, pr) for pl, pr in plans)
-    if half > min_pad:
-        # circular-convolution wrap would reach the true signal; use the
-        # exact per-recording path on the ORIGINAL (un-quantized) recordings
-        outs = [
-            preprocess_exact(jnp.asarray(r, jnp.float32), sfreq, l_freq, h_freq,
-                             down=sfreq / out_rate)
-            for r in originals
-        ]
-        return [np.asarray(o) if to_host else o for o in outs]
+    if not aligned or half > min_pad:
+        # Two cases where the single-FFT fusion cannot reproduce the MNE
+        # twin: (a) the rate ratio is not a small rational (e.g. Brennan's
+        # embedding-length-derived ratio [ref: brennan2018.py:269-270]), so
+        # the shared-pad output grid is fractionally shifted vs
+        # fft_resample's per-recording MNE grid — on broadband signals even
+        # a ~0.1-sample grid shift is a large pointwise error; (b) the pads
+        # are smaller than the filter half-length, so circular-convolution
+        # wrap would reach the true signal. Run the exact two-stage chain
+        # instead — still batched on device, grouped by recording length
+        # (proven against the executed reference pipeline in
+        # tests/test_pipeline_golden.py).
+        return _grouped_exact(
+            originals, sfreq, l_freq, h_freq, sfreq / out_rate,
+            microbatch, to_host, transfer_dtype,
+        )
     taps = jnp.asarray(taps_np)
 
     def _readback(y, crops):
