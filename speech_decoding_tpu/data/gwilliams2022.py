@@ -351,6 +351,12 @@ class Gwilliams2022DatasetBase:
                 self.brain_filter_low,
                 self.brain_filter_high,
                 float(self.brain_resample_rate),
+                # preprocs.exact_mne_grid=true: byte-parity with MNE's
+                # per-recording resample grid (full-pipeline golden
+                # tests/test_pipeline_golden_gwilliams.py) at ~2x FFT cost;
+                # default = fused exact-rational grid (sub-sample deviation,
+                # documented in PARITY.md)
+                exact_grid=bool(self.preprocs.get("exact_mne_grid", False)),
             )
             for k, o in zip(todo_keys, outs):
                 np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))

@@ -215,6 +215,7 @@ def preprocess_batch(
     microbatch: int = 4,
     to_host: bool = True,
     transfer_dtype: str = "float32",
+    exact_grid: bool = False,
 ) -> List[np.ndarray]:
     """Fused band-pass + resample for a list of (C, T_i) recordings.
     Returns (C, round(T_i * out_rate / sfreq)) arrays — numpy when
@@ -229,6 +230,16 @@ def preprocess_batch(
     ``"bfloat16"`` to halve the upload bytes (see ``_ship_raw``)."""
     if not recordings:
         return []
+    if exact_grid:
+        # opt-in byte-parity with the MNE twin at any ratio: separate filter
+        # and per-recording-grid resample FFTs (~2x FFT cost; the default
+        # fused path resamples on the exact rational grid instead — a
+        # documented sub-sample deviation from MNE's rounded padded grid,
+        # see tests/test_ops.py::TestPreprocessBatch)
+        return _grouped_exact(
+            recordings, sfreq, l_freq, h_freq, sfreq / out_rate,
+            microbatch, to_host, transfer_dtype,
+        )
     ratio = out_rate / sfreq
     lengths = [r.shape[-1] for r in recordings]
 
