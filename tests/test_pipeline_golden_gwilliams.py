@@ -207,3 +207,123 @@ def test_collated_batch_matches(built):
     ref_names = [ref.valid_subjects[s] for s in ref_sidx.numpy()]
     our_names = [ours.valid_subjects[s] for s in batch["subject_idxs"]]
     assert ref_names == our_names
+
+
+def test_full_system_training_trajectory(built):
+    """RAW FILES -> LOSS CURVE: the last link of the accuracy-parity chain.
+
+    Both frameworks train identically-initialized encoders for 10 Adam steps
+    on batches their OWN pipelines assemble from the same raw bytes (pinned
+    segment/session draws): the reference side batches through its executed
+    dataset structures + Collator and steps exactly as train.py:166-203 does;
+    ours runs sample_batch -> precomputed-stats collate -> the jitted train
+    step. Loss trajectories and the learned temperature must track.
+
+    Together with the flagship-dims dynamics golden (identical synthetic
+    batches, dropout active) and the dataset-build goldens above, every stage
+    from bytes-on-disk to the optimizer trajectory is now matched against
+    executed reference code. d_drop=0 here: dropout-active dynamics are
+    covered at flagship dims in test_reference_golden.py."""
+    import importlib
+
+    import jax
+
+    import test_reference_golden as trg
+    from speech_decoding_tpu.ops.scaling import apply_scale_stats
+    from speech_decoding_tpu.training import create_train_state, make_train_step
+
+    ours, ref, cfg = built
+    models = importlib.import_module("speech_decoding.models")
+    ref_loss_mod = importlib.import_module("speech_decoding.utils.loss")
+
+    S = ours.num_subjects
+    F = ours.Y.shape[1]
+    ref_enc, our_enc, variables, _, _ = trg._make_pair(
+        models, d_drop=0.0, D1=16, D2=16, F=F, K=4, S=S
+    )
+
+    K_STEPS, B = 10, 8
+    L = ours.seq_len_samp
+    clamp_lim = float(cfg.preprocs["clamp_lim"])
+    draw = np.random.default_rng(3)
+    keys_ours = list(ours.X.keys())
+
+    # --- torch reference: the exact loop of train.py:166-203 on ITS data ---
+    largs = types.SimpleNamespace(reduction="mean", init_temperature=5.1)
+    ref_loss = ref_loss_mod.CLIPLoss(largs)
+    ref_enc.train()
+    opt = torch.optim.Adam(
+        list(ref_enc.parameters()) + list(ref_loss.parameters()), lr=3e-4
+    )
+    ref_mod = importlib.import_module("speech_decoding.dataclass.gwilliams2022")
+    collator = ref_mod.Gwilliams2022Collator(
+        types.SimpleNamespace(preprocs=ref_fakes.AttrDict(dict(cfg.preprocs)))
+    )
+
+    # pinned draws shared by both loops
+    seg_draws = [draw.choice(len(ours), size=B, replace=False) for _ in range(K_STEPS)]
+    key_draws = [draw.integers(0, len(keys_ours), size=B) for _ in range(K_STEPS)]
+
+    ref_losses, ref_temps = [], []
+    our_batches = []
+    for k in range(K_STEPS):
+        items = []
+        sidx_ours = []
+        for i, c in zip(seg_draws[k], key_draws[k]):
+            i_in_task, task = ref.segment_to_task(int(i))
+            key = keys_ours[int(c)]
+            onset = int(ref.meg_onsets[key][task][i_in_task])
+            x = ref.X[key][task][:, onset : onset + ref.seq_len_samp]
+            # subject-layer index: OUR (sorted) labeling on both sides — the
+            # ported weights identify layer s with our subject s
+            sid = int(np.where(ours.valid_subjects == key.split("_")[0])[0][0])
+            items.append((x, ref.Y[int(i)], sid))
+            sidx_ours.append(sid)
+        ref_X, ref_Y, ref_sidx = collator(items)
+        Z = ref_enc(ref_X, ref_sidx)
+        loss = ref_loss(ref_Y, Z)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+        ref_temps.append(float(ref_loss.temp.detach()))
+
+        # ours: the same draws through OUR pipeline
+        batch = ours.sample_batch(
+            np.random.default_rng(0), seg_draws[k], choices=key_draws[k]
+        )
+        X_col = np.asarray(
+            apply_scale_stats(
+                jnp.asarray(batch["X"]), jnp.asarray(batch["scale_stats"]), clamp_lim
+            )
+        )
+        our_batches.append(
+            {
+                "X": X_col,
+                "Y": np.asarray(batch["Y"], np.float32),
+                "subject_idxs": np.asarray(sidx_ours, np.int32),
+            }
+        )
+
+    # --- ours: identical init, jitted train step on OUR pipeline's batches ---
+    state = create_train_state(
+        our_enc,
+        jax.random.PRNGKey(9),
+        our_batches[0]["X"],
+        our_batches[0]["subject_idxs"],
+        init_temperature=5.1,
+        lr=3e-4,
+    )
+    state = state.replace(
+        params={"encoder": variables["params"], "clip": state.params["clip"]},
+        batch_stats=variables["batch_stats"],
+    )
+    step = make_train_step(our_enc, donate=False)
+    our_losses = []
+    for b in our_batches:
+        state, m = step(state, b, jax.random.PRNGKey(0))
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
+    our_temp = float(state.params["clip"]["temp"][0])
+    assert abs(ref_temps[-1] - our_temp) < 1e-3, (ref_temps[-1], our_temp)
