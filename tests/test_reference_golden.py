@@ -150,6 +150,100 @@ def test_forward_matches_reference(pair):
     np.testing.assert_allclose(Z_ours, Z_ref, rtol=1e-3, atol=1e-4)
 
 
+def test_torch_checkpoint_import_matches_reference(ref_modules):
+    """The MIGRATION path: a reference-trained ``model_last.pt`` imported via
+    models.torch_port must reproduce the torch model's eval forward. Here the
+    torch encoder starts from ITS OWN random init, advances BatchNorm running
+    stats with train-mode forwards (as reference training would), and our
+    imported eval forward must match — the inverse direction of the other
+    goldens (which port OUR params into torch)."""
+    models, _ = ref_modules
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.models import BrainEncoder
+    from speech_decoding_tpu.models.torch_port import brain_encoder_from_torch
+
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    models.ch_locations_2d = lambda args: torch.from_numpy(np.asarray(loc, np.float32))
+    args = Args(
+        loc, D1=24, D2=40, F=48, K=6, d_drop=0.0, num_subjects=4,
+        dataset="Gwilliams2022", preprocs={"last4layers": False},
+    )
+    torch.manual_seed(11)
+    ref_enc = models.BrainEncoder(args)
+
+    rng = np.random.default_rng(5)
+    ref_enc.train()
+    with torch.no_grad():
+        for _ in range(3):  # advance BN running stats like training does
+            Xw = rng.normal(size=(6, 208, 90)).astype(np.float32)
+            ref_enc(torch.from_numpy(Xw), torch.from_numpy(np.arange(6) % 4))
+    ref_enc.eval()
+
+    params, batch_stats, dims = brain_encoder_from_torch(ref_enc.state_dict())
+    assert dims == {"S": 4, "D1": 24, "D2": 40, "F": 48, "K": 6}
+    ours = BrainEncoder(
+        num_subjects=4, loc=loc, D1=24, D2=40, F=48, K=6, d_drop=0.0
+    )
+    X = rng.normal(size=(5, 208, 90)).astype(np.float32)
+    sidx = np.array([0, 3, 1, 2, 0])
+    with torch.no_grad():
+        Z_ref = ref_enc(torch.from_numpy(X), torch.from_numpy(sidx)).numpy()
+    Z_ours = np.asarray(
+        ours.apply(
+            {"params": params, "batch_stats": batch_stats}, X, sidx, train=False
+        )
+    )
+    np.testing.assert_allclose(Z_ours, Z_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_import_tool_serves_reference_checkpoint(ref_modules, tmp_path, monkeypatch):
+    """tools/import_torch_checkpoint.py end-to-end: the reference's
+    ``model_last.pt`` -> orbax checkpoint -> SpeechDecoder.from_checkpoint,
+    and the served encode matches the torch model's eval forward."""
+    models, _ = ref_modules
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.inference import SpeechDecoder
+    from speech_decoding_tpu.models import BrainEncoder
+
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    models.ch_locations_2d = lambda args: torch.from_numpy(np.asarray(loc, np.float32))
+    args = Args(
+        loc, D1=16, D2=24, F=32, K=4, d_drop=0.0, num_subjects=3,
+        dataset="Gwilliams2022", preprocs={"last4layers": False},
+    )
+    torch.manual_seed(3)
+    ref_enc = models.BrainEncoder(args)
+    with torch.no_grad():
+        ref_enc.train()
+        ref_enc(
+            torch.from_numpy(np.random.default_rng(1).normal(size=(4, 208, 60)).astype(np.float32)),
+            torch.from_numpy(np.arange(4) % 3),
+        )
+    ref_enc.eval()
+    pt_path = os.path.join(tmp_path, "model_last.pt")
+    torch.save(ref_enc.state_dict(), pt_path)
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    tool = importlib.import_module("import_torch_checkpoint")
+    out_dir = os.path.join(tmp_path, "ckpt")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["tool", pt_path, out_dir, "dataset=Gwilliams2022", f"root_dir={tmp_path}"],
+    )
+    tool.main()
+
+    encoder = BrainEncoder(num_subjects=3, loc=loc, D1=16, D2=24, F=32, K=4, d_drop=0.0)
+    X = np.random.default_rng(2).normal(size=(5, 208, 60)).astype(np.float32)
+    sidx = np.array([0, 1, 2, 0, 1])
+    dec = SpeechDecoder.from_checkpoint(out_dir, encoder, X)
+    Z_ours = np.asarray(dec.encode(X, sidx))
+    with torch.no_grad():
+        Z_ref = ref_enc(torch.from_numpy(X), torch.from_numpy(sidx)).numpy()
+    np.testing.assert_allclose(Z_ours, Z_ref, rtol=1e-3, atol=1e-4)
+
+
 def test_clip_loss_matches_reference(ref_modules, rng):
     _, ref_loss_mod = ref_modules
     from speech_decoding_tpu.models import clip_loss
