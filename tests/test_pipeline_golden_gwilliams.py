@@ -209,6 +209,85 @@ def test_collated_batch_matches(built):
     assert ref_names == our_names
 
 
+def test_deep_split_matches(built, ref_gwilliams):
+    """DeepSplit (temporal, deterministic): both frameworks re-construct from
+    their caches; per-task counts, Y tensors and per-recording onset filters
+    must match for train and test [ref: gwilliams2022.py:560-637]."""
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022DeepSplit
+
+    ours, ref, cfg = built
+    cfg2 = cfg.copy()
+    cfg2.rebuild_dataset = False
+    # ref.root_dir is "<root>/data/Gwilliams2022/"; recover <root>
+    root_ref = ref.root_dir[: -len("/data/Gwilliams2022/")]
+    for train in (True, False):
+        with ref_fakes.legacy_torch_load():
+            ref_ds = ref_gwilliams.Gwilliams2022DeepSplit(
+                _ref_args(root_ref, cfg.preprocs), train
+            )
+        our_ds = Gwilliams2022DeepSplit(
+            cfg2, train=train, wav2vec=None,
+            num_subjects=N_SUBJECTS, num_sessions=N_SESSIONS, num_tasks=N_TASKS,
+        )
+        assert list(ref_ds.num_segments_foreach_task) == list(
+            our_ds.num_segments_foreach_task
+        ), f"train={train}"
+        np.testing.assert_allclose(
+            ref_ds.Y.numpy(), our_ds.Y, rtol=2e-3, atol=2e-3
+        )
+        for key in sorted(ref_ds.meg_onsets.keys()):
+            for task in sorted(ref_ds.meg_onsets[key].keys()):
+                assert len(ref_ds.meg_onsets[key][task]) == len(
+                    our_ds.meg_onsets[key][task]
+                )
+
+
+def test_sentence_split_matches(built, ref_gwilliams):
+    """SentenceSplit: both frameworks consume the same global np.random
+    stream for the per-task sentence shuffle (reference iterates tasks in
+    insertion order task0..taskN, ours in sorted order — identical here), so
+    seeding np.random identically must produce identical splits, including
+    the train-instance -> test-instance word-idxs handoff
+    [ref: gwilliams2022.py:390-491, train.py:54-59]."""
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022SentenceSplit
+
+    ours, ref, cfg = built
+    cfg2 = cfg.copy()
+    cfg2.rebuild_dataset = False
+    kw = dict(num_subjects=N_SUBJECTS, num_sessions=N_SESSIONS, num_tasks=N_TASKS)
+
+    np.random.seed(123)
+    with ref_fakes.legacy_torch_load():
+        ref_train = ref_gwilliams.Gwilliams2022SentenceSplit(
+            _ref_args(ref.root_dir[: -len("/data/Gwilliams2022/")], cfg.preprocs)
+        )
+    np.random.seed(123)
+    our_train = Gwilliams2022SentenceSplit(cfg2, wav2vec=None, **kw)
+
+    assert list(ref_train.num_segments_foreach_task) == list(
+        our_train.num_segments_foreach_task
+    )
+    np.testing.assert_allclose(
+        ref_train.Y.numpy(), our_train.Y, rtol=2e-3, atol=2e-3
+    )
+    for task in sorted(ref_train.test_word_idxs_dict.keys()):
+        assert list(ref_train.test_word_idxs_dict[task]) == list(
+            our_train.test_word_idxs_dict[task]
+        )
+
+    # test datasets from the train instance's held-out word idxs
+    with ref_fakes.legacy_torch_load():
+        ref_test = ref_gwilliams.Gwilliams2022SentenceSplit(
+            _ref_args(ref.root_dir[: -len("/data/Gwilliams2022/")], cfg.preprocs),
+            test_word_idxs_dict=ref_train.test_word_idxs_dict,
+        )
+    our_test = Gwilliams2022SentenceSplit(
+        cfg2, test_word_idxs_dict=our_train.test_word_idxs_dict, wav2vec=None, **kw
+    )
+    assert len(ref_test) == len(our_test)
+    np.testing.assert_allclose(ref_test.Y.numpy(), our_test.Y, rtol=2e-3, atol=2e-3)
+
+
 def test_full_system_training_trajectory(built):
     """RAW FILES -> LOSS CURVE: the last link of the accuracy-parity chain.
 
