@@ -101,11 +101,16 @@ def make_gwilliams_tree(
     rec_secs: float = 30.0,
     n_words_per_task: int = 24,
     n_channels: int = 224,
-    missing: Tuple[Tuple[int, int], ...] = (),
+    missing: Tuple[Tuple[int, ...], ...] = (),
 ) -> None:
     """Fake array-BIDS tree for Gwilliams2022: per-recording
     sub-XX/ses-S/meg/*.npy raw arrays + annotations.json, and task stimulus
-    wavs under stimuli/audio (prefixes lw/cable/easy/the)."""
+    wavs under stimuli/audio (prefixes lw/cable/easy/the).
+
+    ``missing``: (subject, session) entries drop a whole session;
+    (subject, session, task) entries drop a single recording — the real
+    MEG-MASC tree has such holes (the reference goes 167 -> 156 session-task
+    keys [ref: gwilliams2022.py:458])."""
     base = os.path.join(root, "data", "Gwilliams2022")
     rng = np.random.default_rng(1)
     fs = 1000
@@ -131,7 +136,7 @@ def make_gwilliams_tree(
         sentence_idxs = (np.arange(n_words_per_task) // 4).astype(int)
         for subj in range(n_subjects):
             for sess in range(n_sessions):
-                if (subj, sess) in missing:
+                if (subj, sess) in missing or (subj, sess, task) in missing:
                     continue
                 rec_dir = os.path.join(
                     base, f"sub-{subj + 1:02d}", f"ses-{sess}", "meg"

@@ -248,6 +248,7 @@ def _tiny_brennan(num_subjects=8, num_segments=16, C=4, L=10):
     ds.num_subjects = num_subjects
     ds.num_segments = num_segments
     ds.seq_len_samp = L
+    ds.segment_len = L  # == seq_len_samp outside brennan_legacy_split mode
     ds.baseline_len_samp = 2
     return ds
 

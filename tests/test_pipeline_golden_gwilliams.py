@@ -209,6 +209,44 @@ def test_collated_batch_matches(built):
     assert ref_names == our_names
 
 
+def test_missing_recording_drop_matches(tmp_path_factory, ref_gwilliams):
+    """Missing-recording tolerance + drop_task_missing_sessions against the
+    executed reference: one recording (subject02, sess1, task3) is absent, so
+    read_raw_bids raises and the whole subject02_sess1 session must be
+    dropped on both sides after its other 3 tasks were read — the real
+    MEG-MASC 167->156 path [ref: gwilliams2022.py:216-220,182-190,458]."""
+    from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+    from speech_decoding_tpu.data.synthetic import make_config, make_gwilliams_tree
+
+    root_ours = str(tmp_path_factory.mktemp("gwm_ours"))
+    root_ref = str(tmp_path_factory.mktemp("gwm_ref"))
+    for root in (root_ours, root_ref):
+        make_gwilliams_tree(
+            root, n_subjects=N_SUBJECTS, n_sessions=N_SESSIONS, n_tasks=N_TASKS,
+            rec_secs=24.0, n_words_per_task=12, missing=((1, 1, 3),),
+        )
+    os.makedirs(os.path.join(root_ref, "data", "Gwilliams2022", "preprocessed"))
+    hf, frozen = ref_fakes.tiny_w2v_pair()
+
+    cfg = make_config(root_ours, "Gwilliams2022")
+    cfg.rebuild_dataset = True
+    cfg.preprocs["exact_mne_grid"] = True
+    ours = Gwilliams2022ShallowSplit(
+        cfg, wav2vec=frozen,
+        num_subjects=N_SUBJECTS, num_sessions=N_SESSIONS, num_tasks=N_TASKS,
+    )
+
+    ref_gwilliams.load_wav2vec_model = lambda name: hf
+    with ref_fakes.legacy_torch_load():
+        ref = ref_gwilliams.Gwilliams2022ShallowSplit(_ref_args(root_ref, cfg.preprocs))
+
+    assert sorted(ref.X.keys()) == sorted(ours.X.keys())
+    assert "subject02_sess1" not in ours.X  # dropped: 3 of 4 tasks present
+    assert len(ours.X) == N_SUBJECTS * N_SESSIONS - 1
+    assert len(ref) == len(ours)
+    np.testing.assert_allclose(ref.Y.numpy(), ours.Y, rtol=2e-3, atol=2e-3)
+
+
 def test_deep_split_matches(built, ref_gwilliams):
     """DeepSplit (temporal, deterministic): both frameworks re-construct from
     their caches; per-task counts, Y tensors and per-recording onset filters
