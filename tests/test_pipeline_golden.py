@@ -146,6 +146,98 @@ def test_processed_eeg_segments_match(built):
         np.testing.assert_allclose(ref_x, got_x, rtol=2e-3, atol=2e-3)
 
 
+def test_full_system_training_trajectory_brennan(built):
+    """RAW FILES -> LOSS CURVE, Brennan branch: both frameworks run the
+    reference's Brennan epoch semantics — every batch does a train-mode
+    forward (BN advances) but ONLY the last batch of each epoch is
+    backpropagated [ref: train.py:205-209] — for 2 epochs x 3 batches on
+    batches their OWN pipelines assemble from the same raw bytes (pinned
+    segment/subject draws, legacy-split segments). Losses, BN running stats
+    and the temperature must track."""
+    import importlib
+
+    import jax
+
+    import test_reference_golden as trg
+    from speech_decoding_tpu.training import (
+        create_train_state,
+        make_train_forward_step,
+        make_train_step,
+    )
+
+    ours_ds, ref_ds, _ = built
+    models = importlib.import_module("speech_decoding.models")
+    ref_loss_mod = importlib.import_module("speech_decoding.utils.loss")
+
+    S = ours_ds.num_subjects
+    F = ref_ds.Y[0].shape[0]
+    ref_enc, our_enc, variables, _, _ = trg._make_pair(
+        models, d_drop=0.0, D1=16, D2=16, F=F, K=4, S=S, dataset="Brennan2018"
+    )
+
+    EPOCHS, NB, B = 2, 3, 8
+    draw = np.random.default_rng(21)
+    seg_draws = [
+        [draw.choice(ours_ds.num_segments, size=B, replace=False) for _ in range(NB)]
+        for _ in range(EPOCHS)
+    ]
+    subj_draws = [
+        [draw.integers(0, S, size=B) for _ in range(NB)] for _ in range(EPOCHS)
+    ]
+
+    # --- torch: the executed Brennan epoch loop on ITS dataset ---
+    largs = types.SimpleNamespace(reduction="mean", init_temperature=5.1)
+    ref_loss = ref_loss_mod.CLIPLoss(largs)
+    opt = torch.optim.Adam(
+        list(ref_enc.parameters()) + list(ref_loss.parameters()), lr=3e-4
+    )
+    ref_enc.train()
+    ref_losses = []
+    for e in range(EPOCHS):
+        loss = None
+        for k in range(NB):
+            X_b = torch.stack(
+                [ref_ds.X[int(i)][int(s)] for i, s in zip(seg_draws[e][k], subj_draws[e][k])]
+            )
+            Y_b = torch.stack([ref_ds.Y[int(i)] for i in seg_draws[e][k]])
+            Z = ref_enc(X_b, torch.from_numpy(subj_draws[e][k]))
+            loss = ref_loss(Y_b, Z)
+            ref_losses.append(float(loss))
+        opt.zero_grad()
+        loss.backward()  # ONLY the last batch — the reference quirk
+        opt.step()
+
+    # --- ours: same draws through OUR pipeline, legacy-accumulation steps ---
+    first = ours_ds.sample_batch(
+        np.random.default_rng(0), seg_draws[0][0], choices=subj_draws[0][0]
+    )
+    state = create_train_state(
+        our_enc, jax.random.PRNGKey(9), first["X"], first["subject_idxs"],
+        init_temperature=5.1, lr=3e-4,
+    )
+    state = state.replace(
+        params={"encoder": variables["params"], "clip": state.params["clip"]},
+        batch_stats=variables["batch_stats"],
+    )
+    fwd_step = make_train_forward_step(our_enc)
+    train_step = make_train_step(our_enc, donate=False)
+    our_losses = []
+    for e in range(EPOCHS):
+        for k in range(NB):
+            batch = ours_ds.sample_batch(
+                np.random.default_rng(0), seg_draws[e][k], choices=subj_draws[e][k]
+            )
+            step_fn = train_step if k == NB - 1 else fwd_step
+            state, m = step_fn(state, batch, jax.random.PRNGKey(0))
+            our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
+    assert (
+        abs(float(ref_loss.temp.detach()) - float(state.params["clip"]["temp"][0]))
+        < 1e-3
+    )
+
+
 def test_getitem_contract_matches(built):
     """Reference __getitem__ returns (X_seg[subj], Y_seg, subj, chunk_id);
     our sample_batch returns the same tensors for the same draws."""

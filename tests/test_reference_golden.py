@@ -57,13 +57,13 @@ class Args:
         self._loc = loc
 
 
-def _make_pair(models, d_drop, D1=32, D2=48, F=64, K=8, S=3):
+def _make_pair(models, d_drop, D1=32, D2=48, F=64, K=8, S=3, dataset="Gwilliams2022"):
     """Build (ref torch BrainEncoder, our flax BrainEncoder, variables, X,
-    sidx) with identical weights, on a Gwilliams-like geometry."""
+    sidx) with identical weights, on the given dataset's sensor geometry."""
     from speech_decoding_tpu.data.layout import ch_locations_2d
     from speech_decoding_tpu.models import BrainEncoder
 
-    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    loc = ch_locations_2d(dataset, cache=False)
 
     # patch the reference's layout lookup to our static positions
     loc_t = torch.from_numpy(np.asarray(loc, np.float32))
@@ -77,13 +77,13 @@ def _make_pair(models, d_drop, D1=32, D2=48, F=64, K=8, S=3):
         K=K,
         d_drop=d_drop,
         num_subjects=S,
-        dataset="Gwilliams2022",
+        dataset=dataset,
         preprocs={"last4layers": False},
     )
     ref_enc = models.BrainEncoder(args).eval()
 
     ours = BrainEncoder(num_subjects=S, loc=loc, D1=D1, D2=D2, F=F, K=K, d_drop=d_drop)
-    X = np.random.default_rng(0).normal(size=(4, 208, 60)).astype(np.float32)
+    X = np.random.default_rng(0).normal(size=(4, loc.shape[0], 60)).astype(np.float32)
     sidx = np.array([0, 1, 2, 0])
     variables = ours.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
