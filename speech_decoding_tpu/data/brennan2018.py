@@ -71,6 +71,10 @@ class Brennan2018Dataset:
         self.brain_filter_low = args.preprocs["brain_filter_low"]
         self.brain_filter_high = args.preprocs["brain_filter_high"]
         self.subject_wise = args.preprocs["subject_wise"]
+        # Brennan's embedding-length-derived resample ratio is practically
+        # never a small rational, so preprocess_batch routes to the MNE-grid
+        # exact chain on its own; the flag forces it (symmetry w/ Gwilliams)
+        self.exact_mne_grid = bool(args.preprocs.get("exact_mne_grid", False))
         last4layers = args.preprocs["last4layers"]
         force_recompute = bool(args.get("rebuild_dataset", False))
         self._wav2vec = wav2vec
@@ -198,6 +202,7 @@ class Brennan2018Dataset:
             self.brain_filter_high,
             out_rate,
             microbatch=1,
+            exact_grid=self.exact_mne_grid,
         )[0]
         X = outs.reshape(stacked.shape[0], NUM_EEG_CHANNELS, -1)
         return X.astype(np.float32), new_srate

@@ -192,11 +192,15 @@ class MNEBIDSSource:
 
 def default_source(root_dir: str, drop_overlap_sec=None):
     try:
-        import mne_bids  # noqa: F401
+        import mne_bids
 
-        return MNEBIDSSource(root_dir, drop_overlap_sec)
+        # importable is not enough: verify the API surface actually exists
+        # (guards against stub/broken installs and test fakes)
+        if hasattr(mne_bids, "BIDSPath") and hasattr(mne_bids, "read_raw_bids"):
+            return MNEBIDSSource(root_dir, drop_overlap_sec)
     except ImportError:
-        return ArrayBIDSSource(root_dir, drop_overlap_sec)
+        pass
+    return ArrayBIDSSource(root_dir, drop_overlap_sec)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,27 @@ import jax.numpy as jnp
 REFERENCE = "/root/reference"
 
 
+FAKE_NAMES = (
+    "termcolor", "tqdm", "natsort", "torchaudio.functional", "torchaudio",
+    "mne.filter", "mne", "mne_bids", "omegaconf",
+)
+
+
+def snapshot_fakes():
+    """Current sys.modules entries for every name the fakes may touch; pass
+    to restore_fakes at module teardown so fakes never leak into other test
+    files (e.g. a functional fake mne_bids would flip default_source)."""
+    return {n: sys.modules.get(n) for n in FAKE_NAMES}
+
+
+def restore_fakes(snap) -> None:
+    for n, mod in snap.items():
+        if mod is None:
+            sys.modules.pop(n, None)
+        else:
+            sys.modules[n] = mod
+
+
 def force_module(name: str, **attrs) -> types.ModuleType:
     """Get-or-create sys.modules[name] and force-set the given attributes
     (other test files may have installed partial fakes already)."""

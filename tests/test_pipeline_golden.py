@@ -52,10 +52,12 @@ pytest.importorskip("transformers")
 def ref_brennan():
     """Import the reference Brennan2018Dataset with its unavailable deps
     backed by this repo's own implementations (see module docstring)."""
+    snap = ref_fakes.snapshot_fakes()
     ref_fakes.install_reference_fakes()
     import importlib
 
-    return importlib.import_module("speech_decoding.dataclass.brennan2018")
+    yield importlib.import_module("speech_decoding.dataclass.brennan2018")
+    ref_fakes.restore_fakes(snap)
 
 
 def _ref_args(root):

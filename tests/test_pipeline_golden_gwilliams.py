@@ -50,6 +50,7 @@ N_SUBJECTS, N_SESSIONS, N_TASKS = 2, 2, 4
 
 @pytest.fixture(scope="module")
 def ref_gwilliams():
+    snap = ref_fakes.snapshot_fakes()
     ref_fakes.install_reference_fakes()
     ref_fakes.install_fake_mne_bids()
     import importlib
@@ -61,7 +62,8 @@ def ref_gwilliams():
     # Hand the ORIGINAL executed function a writable copy (pure env shim).
     orig_continuous = mod.continuous
     mod.continuous = lambda onsets: orig_continuous(np.array(onsets))
-    return mod
+    yield mod
+    ref_fakes.restore_fakes(snap)
 
 
 def _ref_args(root, preprocs: dict):
@@ -237,6 +239,15 @@ def test_missing_recording_drop_matches(tmp_path_factory, ref_gwilliams):
     )
 
     ref_gwilliams.load_wav2vec_model = lambda name: hf
+    # the reference's module-level Manager dicts persist across constructions
+    # (one run per process in real use); clear the previous fixture's onsets
+    # so its cross-recording consistency asserts see only THIS tree
+    for d in (
+        ref_gwilliams.global_speech_onsets,
+        ref_gwilliams.global_meg_onsets,
+        ref_gwilliams.global_sentence_idxs,
+    ):
+        d.clear()
     with ref_fakes.legacy_torch_load():
         ref = ref_gwilliams.Gwilliams2022ShallowSplit(_ref_args(root_ref, cfg.preprocs))
 
