@@ -243,6 +243,23 @@ def preprocess_batch(
     ratio = out_rate / sfreq
     lengths = [r.shape[-1] for r in recordings]
 
+    # crop alignment: the fused path can only reproduce signal-aligned
+    # outputs when the rate ratio is a small rational (ratio * pad_left and
+    # ratio * L integral); otherwise the shared-pad grid is fractionally
+    # shifted vs fft_resample's per-recording MNE grid — on broadband signals
+    # even a ~0.1-sample grid shift is a large pointwise error (e.g.
+    # Brennan's embedding-length-derived ratio [ref: brennan2018.py:269-270])
+    from fractions import Fraction
+
+    fr = Fraction(str(out_rate)) / Fraction(str(sfreq))
+    aligned = fr.denominator <= 1000
+    if not aligned:
+        return _grouped_exact(
+            recordings, sfreq, l_freq, h_freq, sfreq / out_rate,
+            microbatch, to_host, transfer_dtype,
+        )
+    align = fr.denominator
+
     # Quantize lengths up to a multiple of Q by host-side reflect extension so
     # the jitted program is keyed on a handful of shapes instead of one per
     # distinct recording length (each unique shape is a full XLA compile).
@@ -264,31 +281,16 @@ def preprocess_batch(
             r = np.concatenate(parts, axis=-1)
         quantized.append(r)
     recordings = quantized
-    # crop alignment: make ratio * pad_left integral when the rate ratio is
-    # (near-)rational so outputs are signal-aligned for any shared pad length
-    from fractions import Fraction
-
-    fr = Fraction(str(out_rate)) / Fraction(str(sfreq))
-    aligned = fr.denominator <= 1000
-    align = fr.denominator if aligned else 1
     L, plans = _pad_plan([r.shape[-1] for r in recordings], align=align)
     n_out_big = int(round(ratio * L))
     n_out_fetch = -(-n_out_big // 128) * 128  # lane-aligned readback
     taps_np = design_bandpass_fir(sfreq, l_freq, h_freq)
     half = (len(taps_np) - 1) // 2
     min_pad = min(min(pl, pr) for pl, pr in plans)
-    if not aligned or half > min_pad:
-        # Two cases where the single-FFT fusion cannot reproduce the MNE
-        # twin: (a) the rate ratio is not a small rational (e.g. Brennan's
-        # embedding-length-derived ratio [ref: brennan2018.py:269-270]), so
-        # the shared-pad output grid is fractionally shifted vs
-        # fft_resample's per-recording MNE grid — on broadband signals even
-        # a ~0.1-sample grid shift is a large pointwise error; (b) the pads
-        # are smaller than the filter half-length, so circular-convolution
-        # wrap would reach the true signal. Run the exact two-stage chain
-        # instead — still batched on device, grouped by recording length
-        # (proven against the executed reference pipeline in
-        # tests/test_pipeline_golden.py).
+    if half > min_pad:
+        # pads smaller than the filter half-length: circular-convolution
+        # wrap would reach the true signal — run the exact two-stage chain
+        # on the ORIGINAL (un-quantized) recordings, still device-batched
         return _grouped_exact(
             originals, sfreq, l_freq, h_freq, sfreq / out_rate,
             microbatch, to_host, transfer_dtype,
