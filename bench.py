@@ -250,7 +250,11 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
     import jax.numpy as jnp
 
     from speech_decoding_tpu.data.layout import ch_locations_2d
-    from speech_decoding_tpu.inference import SpeechDecoder, retrieve_topk
+    from speech_decoding_tpu.inference import (
+        SpeechDecoder,
+        retrieve_topk,
+        retrieve_topk_int8,
+    )
     from speech_decoding_tpu.models import BrainEncoder
 
     if jax.default_backend() != "tpu":
@@ -293,8 +297,35 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
             best = min(best, (time.perf_counter() - t0) / reps)
         rate = batch / best
         _log(f"serve: {best * 1e3:.2f} ms / {batch} segs (bank {bank_n}) -> {rate:.0f} seg/s")
+
+        # int8-quantized bank variant: 4x less bank HBM traffic + the MXU's
+        # int8 rate for the (B, N) similarity (inference.retrieve_topk_int8)
+        scale = jnp.maximum(jnp.max(jnp.abs(bank_norm), axis=-1), 1e-8) / 127.0
+        bank_q = jnp.round(bank_norm / scale[:, None]).astype(jnp.int8)
+
+        @jax.jit
+        def chained_q(X, sidx, bank_q, scale, carry):
+            Z = dec.encode_fn(X + carry.astype(X.dtype) * 1e-30, sidx)
+            scores, _ids = retrieve_topk_int8(Z, bank_q, scale, 10)
+            return scores[0, 0].astype(jnp.float32)
+
+        carry = jnp.float32(0)
+        for _ in range(5):
+            carry = chained_q(X, sidx, bank_q, scale, carry)
+        float(carry)
+        best_q = float("inf")
+        for _ in range(2):
+            reps = 20
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                carry = chained_q(X, sidx, bank_q, scale, carry)
+            float(carry)
+            best_q = min(best_q, (time.perf_counter() - t0) / reps)
+        rate_q = batch / best_q
+        _log(f"serve int8 bank: {best_q * 1e3:.2f} ms -> {rate_q:.0f} seg/s")
         return {
             "serve_segments_per_sec": round(rate, 1),
+            "serve_segments_per_sec_int8_bank": round(rate_q, 1),
             "serve_batch": batch,
             "serve_bank_segments": bank_n,
         }

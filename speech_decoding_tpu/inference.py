@@ -48,6 +48,24 @@ def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array
     return jax.lax.top_k(sim, min(int(k), bank_norm.shape[0]))
 
 
+def retrieve_topk_int8(
+    Z: Array, bank_q: Array, bank_scale: Array, k: int = 10
+) -> Tuple[Array, Array]:
+    """``retrieve_topk`` against an int8-quantized bank (see
+    ``SpeechDecoder.set_bank(store_dtype="int8")``): the query is row-quantized
+    to int8 on the fly and the (B, N) similarity runs as an int8 x int8 ->
+    int32 matmul — 4x less bank HBM traffic than f32 and the MXU's int8 rate,
+    for ~1e-2 relative score error (per-row symmetric 1/127 quantization of
+    unit-norm vectors). bank_q: (N, D) int8; bank_scale: (N,) float32."""
+    z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+    zscale = jnp.maximum(jnp.max(jnp.abs(z), axis=-1, keepdims=True), 1e-8) / 127.0
+    zq = jnp.round(z / zscale).astype(jnp.int8)
+    sim_i32 = jnp.matmul(zq, bank_q.T, preferred_element_type=jnp.int32)
+    sim = sim_i32.astype(jnp.float32) * zscale * bank_scale[None, :]
+    return jax.lax.top_k(sim, min(int(k), bank_q.shape[0]))
+
+
 def bank_from_audio(
     wav2vec,
     waveforms: np.ndarray,
@@ -181,6 +199,7 @@ class SpeechDecoder:
             )
         self.bank = None
         self._bank_norm = None
+        self._bank_q = self._bank_scale = None
         if bank is not None:
             self.set_bank(bank)
 
@@ -215,7 +234,7 @@ class SpeechDecoder:
 
     # -- serving ops ----------------------------------------------------------
 
-    def set_bank(self, bank: Array, mesh=None) -> None:
+    def set_bank(self, bank: Array, mesh=None, store_dtype: str = "float32") -> None:
         """Install the candidate speech-embedding bank, reference layout
         (N, F, T) [ref: models.py:226]; rows are L2-normalized once,
         device-resident. With ``mesh`` (a jax Mesh with a "data" axis), the
@@ -250,13 +269,31 @@ class SpeechDecoder:
             bank = jnp.swapaxes(bank, -1, -2)
         flat = jnp.reshape(bank, (bank.shape[0], -1))
         norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
-        self._bank_norm = flat / jnp.maximum(norm, 1e-8)
+        bank_norm = flat / jnp.maximum(norm, 1e-8)
+        self._bank_q = self._bank_scale = None
+        if store_dtype == "int8":
+            # per-row symmetric quantization of the unit-norm rows: 4x less
+            # HBM for the bank and the similarity runs on the MXU's int8
+            # path (retrieve_topk_int8); ~1e-2 relative score error
+            scale = jnp.maximum(jnp.max(jnp.abs(bank_norm), axis=-1), 1e-8) / 127.0
+            self._bank_q = jnp.round(bank_norm / scale[:, None]).astype(jnp.int8)
+            self._bank_scale = scale.astype(jnp.float32)
+            self._bank_norm = None
+        elif store_dtype == "float32":
+            self._bank_norm = bank_norm
+        else:
+            raise ValueError(f"store_dtype must be float32 or int8, got {store_dtype}")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            self._bank_norm = jax.device_put(
-                self._bank_norm, NamedSharding(mesh, PartitionSpec("data", None))
-            )
+            rows = NamedSharding(mesh, PartitionSpec("data", None))
+            if self._bank_norm is not None:
+                self._bank_norm = jax.device_put(self._bank_norm, rows)
+            else:
+                self._bank_q = jax.device_put(self._bank_q, rows)
+                self._bank_scale = jax.device_put(
+                    self._bank_scale, NamedSharding(mesh, PartitionSpec("data"))
+                )
 
     def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
         """Brain segments (B, C, T) -> embeddings (B, F, T), eval mode."""
@@ -266,6 +303,8 @@ class SpeechDecoder:
         """Top-k bank candidates per brain embedding: returns (scores, ids)
         each (B, k). Cosine similarity, reference orientation
         [ref: models.py:226-243]."""
+        if self._bank_q is not None:
+            return retrieve_topk_int8(Z, self._bank_q, self._bank_scale, k)
         assert self._bank_norm is not None, "call set_bank() first"
         return retrieve_topk(Z, self._bank_norm, k)
 
@@ -294,7 +333,9 @@ class SpeechDecoder:
         partial batch is zero-padded to ``batch_size`` so the whole stream
         reuses ONE compiled program (XLA recompiles per shape), then trimmed.
         """
-        assert self._bank_norm is not None, "call set_bank() first"
+        assert (
+            self._bank_norm is not None or self._bank_q is not None
+        ), "call set_bank() first"
         X = np.asarray(X, np.float32)
         assert X.ndim == 2, f"one continuous recording expected, got {X.shape}"
         time_axis = 0 if self.encoder.channels_last_io else 1

@@ -295,3 +295,41 @@ def test_set_bank_rejects_feature_dim_mismatch(rng):
     )
     with pytest.raises(ValueError, match="feature dim"):
         dec.set_bank(jnp.asarray(rng.normal(size=(5, F * 2, T)), jnp.float32))
+
+
+def test_int8_bank_matches_f32_ranking(rng):
+    """set_bank(store_dtype="int8"): per-row symmetric quantization + the
+    int8 x int8 -> int32 similarity must reproduce f32 top-1 exactly and
+    top-10 up to quantization noise on a realistic (correlated) bank."""
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=F, K=4)
+    X = rng.normal(size=(8, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((8,), jnp.int32)
+    )
+    dec = SpeechDecoder(enc, state.params["encoder"], state.batch_stats)
+    # synthetic well-separated embeddings: queries + noisy distractors (a
+    # random-init encoder collapses real embeddings into near-ties, which
+    # would make the ranking comparison pure noise)
+    Z = rng.normal(size=(8, F, T)).astype(np.float32)
+    distract = Z[:, None] + 0.3 * rng.normal(size=(8, 7, F, T)).astype(np.float32)
+    bank = np.concatenate([Z, distract.reshape(-1, F, T)])
+
+    dec.set_bank(jnp.asarray(bank))
+    s32, i32 = map(np.asarray, dec.retrieve(jnp.asarray(Z), k=10))
+    np.testing.assert_array_equal(i32[:, 0], np.arange(8))  # self-match
+    dec.set_bank(jnp.asarray(bank), store_dtype="int8")
+    assert dec._bank_q.dtype == jnp.int8
+    s8, i8 = map(np.asarray, dec.retrieve(jnp.asarray(Z), k=10))
+
+    np.testing.assert_array_equal(i8[:, 0], i32[:, 0])  # self-match survives
+    np.testing.assert_allclose(s8, s32, atol=2e-2)  # ~1/127 per-element noise
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) for a, b in zip(i8, i32)]
+    )
+    assert overlap >= 9.0, overlap  # >=90% top-10 agreement
+
+    # decode_stream accepts an int8 bank too
+    rec = rng.normal(size=(C, T * 6)).astype(np.float32)
+    scores, ids, onsets = dec.decode_stream(rec, 0, segment_len=T, k=3)
+    assert scores.shape == (6, 3) and onsets.shape == (6,)
