@@ -313,3 +313,34 @@ def test_speech_decoder_sharded_bank(mesh, rng):
     s_sh, i_sh = dec.decode(X, np.zeros(B, np.int32), k=5)
     np.testing.assert_array_equal(i_sh, i_ref)
     np.testing.assert_allclose(s_sh, s_ref, atol=1e-5)
+
+
+def test_speech_decoder_sharded_int8_bank(mesh, rng):
+    """set_bank(mesh=..., store_dtype="int8"): the quantized bank rows and
+    per-row scales shard over "data"; GSPMD partitions the int8 similarity
+    and the results equal the single-device int8 decoder exactly (same
+    quantized values, reduction over the unsharded D axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_decoding_tpu.inference import SpeechDecoder
+
+    B, C, T, Fd = 4, 208, 30, 16
+    loc = ch_locations_2d("Gwilliams2022", cache=False)
+    enc = BrainEncoder(num_subjects=2, loc=loc, D1=16, D2=16, F=Fd, K=4)
+    X = rng.normal(size=(B, C, T)).astype(np.float32)
+    state = create_train_state(
+        enc, jax.random.PRNGKey(0), jnp.asarray(X), jnp.zeros((B,), jnp.int32)
+    )
+    bank = rng.normal(size=(64, Fd, T)).astype(np.float32)
+    dec = SpeechDecoder(
+        enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
+    )
+    dec.set_bank(jnp.asarray(bank), store_dtype="int8")
+    s_ref, i_ref = dec.decode(X, np.zeros(B, np.int32), k=5)
+
+    dec.set_bank(jnp.asarray(bank), mesh=mesh, store_dtype="int8")
+    assert dec._bank_q.sharding == NamedSharding(mesh, P("data", None))
+    assert dec._bank_scale.sharding == NamedSharding(mesh, P("data"))
+    s_sh, i_sh = dec.decode(X, np.zeros(B, np.int32), k=5)
+    np.testing.assert_array_equal(i_sh, i_ref)
+    np.testing.assert_allclose(s_sh, s_ref, atol=1e-6)
