@@ -37,7 +37,7 @@ from speech_decoding_tpu.ops.fir import (
     fir_filter_zero_phase,
     reflect_limited_pad,
 )
-from speech_decoding_tpu.ops.resample import _spectral_resize, fft_resample
+from speech_decoding_tpu.ops.resample import fft_resample
 
 Array = jax.Array
 
