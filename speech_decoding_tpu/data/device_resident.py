@@ -36,6 +36,21 @@ import numpy as np
 Array = jax.Array
 
 
+def _quantize_i16(stack: np.ndarray, channel_axis: int):
+    """Per-(array, channel) symmetric int16 quantization over the time axis:
+    returns (q int16, scale f32 (N, C)). /32766 with round-half-up keeps the
+    rounded values inside int16 with no clip pass (the _ship_raw convention,
+    ops/brain_preproc.py); ~90 dB SNR on raw M/EEG dynamic range."""
+    time_axis = 1 if channel_axis == 2 else 2
+    scale = np.abs(stack).max(axis=time_axis) / 32766.0  # (N, C)
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    denom = scale[:, None, :] if channel_axis == 2 else scale[:, :, None]
+    buf = stack / denom
+    buf += np.float32(0.5)
+    np.floor(buf, out=buf)
+    return buf.astype(np.int16), scale
+
+
 class DeviceResidentGwilliams:
     """Wraps a built Gwilliams2022 dataset; provides make_index_batch (host,
     cheap) + gather (jitted device batch assembly)."""
@@ -43,9 +58,15 @@ class DeviceResidentGwilliams:
     def __init__(self, dataset, store_dtype=jnp.float32, channels_last: bool = False):
         """channels_last: store stacks time-major and emit (B, T, C)/(B, T, F)
         batches for a channels_last_io encoder — eliminates every layout
-        transpose in the train step (~10-15% of step time)."""
+        transpose in the train step (~10-15% of step time).
+
+        store_dtype: float32, bfloat16 (half HBM, ~0.2% error), or int16
+        (half HBM with per-(array, channel) symmetric scales — ~90 dB SNR,
+        strictly more accurate than bfloat16 at the same size; dequantized
+        inside the jitted gather, fusing into the collate)."""
         self.ds = dataset
         self.channels_last = channels_last
+        self.quantized = jnp.dtype(store_dtype) == jnp.int16
         L = dataset.seq_len_samp
         self.seq_len = L
 
@@ -68,6 +89,9 @@ class DeviceResidentGwilliams:
             X_stack = np.zeros((len(recs), C, T_max), np.float32)
             for i, r in enumerate(recs):
                 X_stack[i, :, : r.shape[-1]] = r
+        if self.quantized:
+            X_stack, x_scale = _quantize_i16(X_stack, channel_axis=2 if channels_last else 1)
+            self.x_scale = jnp.asarray(x_scale)  # (R, C)
         self.X_stack = jnp.asarray(X_stack, store_dtype)
         self.rec_index = rec_index
 
@@ -86,6 +110,9 @@ class DeviceResidentGwilliams:
             Y_stack = np.zeros((len(tasks), F, Ty_max), np.float32)
             for i, t in enumerate(tasks):
                 Y_stack[i, :, : y_dict[t].shape[-1]] = y_dict[t]
+        if self.quantized:
+            Y_stack, y_scale = _quantize_i16(Y_stack, channel_axis=2 if channels_last else 1)
+            self.y_scale = jnp.asarray(y_scale)  # (n_tasks, F)
         self.Y_stack = jnp.asarray(Y_stack, store_dtype)
 
         # ---- per-word scale stats packed (R, W_max, C, 2) ----
@@ -113,6 +140,8 @@ class DeviceResidentGwilliams:
         self.seg_task_ids = np.asarray(dataset.segment_task_ids)
         self.seg_y_onsets = np.asarray(dataset.segment_y_onsets)
 
+        if not self.quantized:
+            self.x_scale = self.y_scale = None
         self._gather = jax.jit(partial(_gather_batch, L, channels_last))
 
     def make_index_batch(
@@ -148,12 +177,14 @@ class DeviceResidentGwilliams:
             self.stats_stack,
             self.onsets_stack,
             self.subject_of_rec,
+            self.x_scale,
+            self.y_scale,
             {k: jnp.asarray(v) for k, v in idx.items()},
         )
 
 
 def _gather_batch(L, channels_last, X_stack, Y_stack, stats_stack, onsets_stack,
-                  subject_of_rec, idx):
+                  subject_of_rec, x_scale, y_scale, idx):
     def one(rec, word, task, y_on):
         onset = onsets_stack[rec, word]
         if channels_last:
@@ -170,6 +201,17 @@ def _gather_batch(L, channels_last, X_stack, Y_stack, stats_stack, onsets_stack,
             y = jax.lax.dynamic_slice(
                 Y_stack[task], (0, y_on), (Y_stack.shape[1], L)
             )
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        if x_scale is not None:  # int16 storage: per-(array, channel) dequant
+            sx = x_scale[rec]
+            sy = y_scale[task]
+            if channels_last:
+                x = x * sx[None, :]
+                y = y * sy[None, :]
+            else:
+                x = x * sx[:, None]
+                y = y * sy[:, None]
         return x, y, stats_stack[rec, word], subject_of_rec[rec]
 
     X, Y, stats, sidx = jax.vmap(one)(

@@ -279,6 +279,37 @@ class TestDeviceResident:
         np.testing.assert_allclose(d2["Y"].transpose(0, 2, 1), d1["Y"], rtol=1e-6)
         np.testing.assert_array_equal(d2["subject_idxs"], d1["subject_idxs"])
 
+    def test_int16_storage_matches_f32(self, gwilliams_root, w2v):
+        """store_dtype=int16: half the HBM of f32 with per-(array, channel)
+        scales dequantized inside the jitted gather; batches match f32 to
+        ~1/32766 of the channel range, in both layouts."""
+        import jax.numpy as jnp
+
+        from speech_decoding_tpu.data.device_resident import DeviceResidentGwilliams
+
+        cfg = fixtures.make_config(gwilliams_root, "Gwilliams2022")
+        ds = Gwilliams2022ShallowSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        seg = np.arange(6)
+        for cl in (False, True):
+            b32 = DeviceResidentGwilliams(ds, channels_last=cl)
+            b16 = DeviceResidentGwilliams(
+                ds, store_dtype=jnp.int16, channels_last=cl
+            )
+            assert b16.X_stack.dtype == jnp.int16 and b16.Y_stack.dtype == jnp.int16
+            d32 = {k: np.asarray(v) for k, v in b32.gather(
+                b32.make_index_batch(np.random.default_rng(5), seg)).items()}
+            d16 = {k: np.asarray(v) for k, v in b16.gather(
+                b16.make_index_batch(np.random.default_rng(5), seg)).items()}
+            for k in ("X", "Y"):
+                span = np.abs(d32[k]).max()
+                np.testing.assert_allclose(
+                    d16[k], d32[k], atol=1.5 * span / 32766.0, err_msg=f"{k} cl={cl}"
+                )
+            np.testing.assert_array_equal(d16["subject_idxs"], d32["subject_idxs"])
+            np.testing.assert_array_equal(d16["scale_stats"], d32["scale_stats"])
+
 
 class TestDropOverlappingWords:
     """The reference documents this filter but leaves it a TODO stub
