@@ -370,7 +370,7 @@ def test_full_system_training_trajectory(built):
         models, d_drop=0.0, D1=16, D2=16, F=F, K=4, S=S
     )
 
-    K_STEPS, B = 10, 8
+    K_STEPS, B = 10, 12  # B >= 10: the executed Classifier hard-codes topk(10)
     L = ours.seq_len_samp
     clamp_lim = float(cfg.preprocs["clamp_lim"])
     draw = np.random.default_rng(3)
@@ -392,7 +392,10 @@ def test_full_system_training_trajectory(built):
     seg_draws = [draw.choice(len(ours), size=B, replace=False) for _ in range(K_STEPS)]
     key_draws = [draw.integers(0, len(keys_ours), size=B) for _ in range(K_STEPS)]
 
-    ref_losses, ref_temps = [], []
+    import speech_decoding.models as ref_models_mod
+
+    ref_clf = ref_models_mod.Classifier(types.SimpleNamespace())
+    ref_losses, ref_temps, ref_top1, ref_top10 = [], [], [], []
     our_batches = []
     for k in range(K_STEPS):
         items = []
@@ -410,6 +413,10 @@ def test_full_system_training_trajectory(built):
         ref_X, ref_Y, ref_sidx = collator(items)
         Z = ref_enc(ref_X, ref_sidx)
         loss = ref_loss(ref_Y, Z)
+        with torch.no_grad():  # the executed reference retrieval metric
+            t1, t10 = ref_clf(Z.detach(), ref_Y)
+        ref_top1.append(float(t1))
+        ref_top10.append(float(t10))
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -447,11 +454,22 @@ def test_full_system_training_trajectory(built):
         batch_stats=variables["batch_stats"],
     )
     step = make_train_step(our_enc, donate=False)
-    our_losses = []
+    our_losses, our_top1, our_top10 = [], [], []
     for b in our_batches:
         state, m = step(state, b, jax.random.PRNGKey(0))
         our_losses.append(float(m["loss"]))
+        our_top1.append(float(m["top1"]))
+        our_top10.append(float(m["top10"]))
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
     our_temp = float(state.params["clip"]["temp"][0])
     assert abs(ref_temps[-1] - our_temp) < 1e-3, (ref_temps[-1], our_temp)
+    # the NORTH-STAR metric through both full systems: per-step retrieval
+    # accuracy (executed Classifier vs our logit-reused ranking). Similarity
+    # values match to ~1e-4, so ranks can only differ at genuine near-ties:
+    # allow one flipped sample per step, none on average.
+    for o1, r1, o10, r10 in zip(our_top1, ref_top1, our_top10, ref_top10):
+        assert abs(o1 - r1) <= 1.01 / B, (o1, r1)
+        assert abs(o10 - r10) <= 1.01 / B, (o10, r10)
+    assert abs(np.mean(our_top1) - np.mean(ref_top1)) <= 0.5 / B
+    assert abs(np.mean(our_top10) - np.mean(ref_top10)) <= 0.5 / B
