@@ -33,6 +33,56 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def _probe_device(timeout_s: float) -> str | None:
+    """Probe the default jax backend in a SUBPROCESS and return its platform
+    name ('tpu', 'cpu', ...), or None if the probe hung/failed. A down tunnel
+    can make backend init hang indefinitely (observed this round), not just
+    raise — probing in-process would leave the bench with no output at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        return None
+    except subprocess.TimeoutExpired:
+        return None
+
+
+def _wait_for_device(budget_s: float) -> str | None:
+    """Retry the device probe until an accelerator answers or the budget is
+    exhausted; returns the platform name or None. Protects the round-end
+    bench artifact against transient tunnel outages (multi-hour outages were
+    observed on this harness). If the env requests an accelerator
+    (JAX_PLATFORMS names a non-cpu backend) but init silently fell back to
+    CPU, keep waiting — a CPU bench would be a misleading artifact."""
+    want_accel = "axon" in os.environ.get("JAX_PLATFORMS", "") or "tpu" in os.environ.get("JAX_PLATFORMS", "")
+    deadline = time.monotonic() + budget_s
+    first = True
+    while True:
+        left = deadline - time.monotonic()
+        if not first and left <= 0:
+            return None
+        platform = _probe_device(min(120.0, max(15.0, left)) if not first else 120.0)
+        if platform is not None and not (want_accel and platform == "cpu"):
+            return platform
+        first = False
+        left = deadline - time.monotonic()
+        if left <= 0:
+            return None
+        _log(
+            f"device backend {'fell back to cpu' if platform else 'not answering'};"
+            f" retrying ({left:.0f}s budget left)"
+        )
+        time.sleep(min(60.0, left))
+
+
 def bench_preproc() -> float:
     """Chip preprocessing throughput: fused reflect-pad + FIR band-pass +
     spectral resample over device-resident (208, 396000) recordings."""
@@ -396,6 +446,30 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
 
 
 def main():
+    # bounded wait for the device backend before importing jax in-process
+    # (BENCH_WAIT_DEVICE_S env, default 10 min): a hung tunnel would
+    # otherwise block jax.devices() forever and leave no JSON artifact
+    budget = float(os.environ.get("BENCH_WAIT_DEVICE_S", "600"))
+    probed_platform = _wait_for_device(budget)
+    if probed_platform is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "gwilliams_preproc_meg_seconds_per_sec",
+                    "value": 0,
+                    "unit": "MEG-sec/s",
+                    "vs_baseline": 0,
+                    "extra": {
+                        "error": f"device backend unreachable for {budget:.0f}s "
+                        "(subprocess probe of jax.devices() hung or failed)",
+                        "note": "harness tunnel outage, not a code failure; "
+                        "see BENCH_r02.json for the last healthy numbers",
+                    },
+                }
+            )
+        )
+        return
+
     import jax
 
     try:
