@@ -49,9 +49,30 @@ def test_brennan_cli_end_to_end(tmp_path, w2v):
     build_cfg.rebuild_dataset = True
     Brennan2018Dataset(build_cfg, wav2vec=w2v)
 
-    train_cli.run(cfg)
+    hist = train_cli.run(cfg)
     ckpt_dir = os.path.join(root, "checkpoints")
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # tools/evaluate.py must reproduce the training-time eval of the saved
+    # state: same split pools, same fixed test batch (seed+1), same metrics
+    from tools.evaluate import evaluate
+
+    out = evaluate(cfg.copy())
+    assert out["epoch"] == hist[-1]["epoch"]
+    assert out["test_segments"] > 0
+    assert out["test_loss"] == pytest.approx(hist[-1]["test_loss"], rel=1e-4)
+    assert out["testTop1acc"] == pytest.approx(hist[-1]["testTop1acc"], abs=1e-6)
+    assert out["testTop10acc"] == pytest.approx(hist[-1]["testTop10acc"], abs=1e-6)
+
+    # best-checkpoint restore: the tracked best epoch's metrics, not the last
+    best_cfg = cfg.copy()
+    best_cfg.set_path("eval.best", True)
+    out_best = evaluate(best_cfg)
+    best_val = max(h["testTop10acc"] for h in hist)
+    # ties possible on tiny pools — any argmax epoch is a valid "best"
+    best_epochs = [h["epoch"] for h in hist if h["testTop10acc"] == best_val]
+    assert out_best["epoch"] in best_epochs
+    assert out_best["testTop10acc"] == pytest.approx(best_val, abs=1e-6)
 
 
 def test_gwilliams_cli_and_resume(tmp_path, w2v):
@@ -117,5 +138,16 @@ def test_gwilliams_device_resident(tmp_path, w2v):
     Gwilliams2022ShallowSplit(
         build_cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
     )
-    train_cli.run(cfg)
+    hist = train_cli.run(cfg)
     assert os.listdir(os.path.join(root, "checkpoints"))
+
+    # evaluate must reproduce the training-time eval even though the run
+    # trained channels-last on device-resident data: the param tree is
+    # layout-independent and the host sample_batch draws the identical
+    # session choices (same rng stream as the device-index path)
+    from tools.evaluate import evaluate
+
+    out = evaluate(cfg.copy())
+    assert out["epoch"] == hist[-1]["epoch"]
+    assert out["test_loss"] == pytest.approx(hist[-1]["test_loss"], rel=2e-4)
+    assert out["testTop10acc"] == pytest.approx(hist[-1]["testTop10acc"], abs=1e-6)

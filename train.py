@@ -56,7 +56,25 @@ def build_gwilliams(args, rng):
     return train_set, test_set, train_pool, test_pool
 
 
-def run(args) -> None:
+def build_collate(args) -> dict:
+    """Gwilliams in-step collate spec (the reference's Collator semantics,
+    [ref: gwilliams2022.py:653-661]) — shared by train.run and
+    tools/evaluate.py so both phases apply identical baseline/scale/clamp."""
+    return {
+        "baseline_len_samp": int(
+            args.preprocs["brain_resample_rate"] * args.preprocs["baseline_len_sec"]
+        ),
+        "clamp_lim": float(args.preprocs["clamp_lim"]),
+        "clamp": bool(args.preprocs["clamp"]),
+        # per-segment median/IQR precomputed at build; in-step collate is
+        # elementwise (see ops.scaling.apply_scale_stats)
+        "precomputed": True,
+        "channels_last": bool(args.select("tpu.channels_last_io", False)),
+    }
+
+
+def run(args) -> list:
+    """Train per the config; returns the per-epoch metrics history."""
     # multi-host bootstrap MUST precede first device use (no-op single-host)
     from speech_decoding_tpu.parallel.multihost import (
         host_local_slice,
@@ -81,12 +99,19 @@ def run(args) -> None:
 
     # ``reproducible`` gates determinism like the reference's flag gates
     # torch deterministic algorithms [ref: train.py:33-43]: when off, each
-    # run draws a fresh seed from OS entropy
-    seed = (
-        int(args.get("seed", 0))
-        if args.get("reproducible", True)
-        else int.from_bytes(os.urandom(4), "little")
-    )
+    # run draws a fresh seed from OS entropy. The DRAWN seed is recorded as
+    # ``resolved_seed`` (in the run-dir config snapshot and in-place on
+    # ``args``) so the run's split pools and fixed test batch stay
+    # recoverable — resume and tools/evaluate.py would otherwise re-draw a
+    # different train/test split (silent test contamination).
+    seed = args.select("resolved_seed", None)
+    if seed is None:
+        seed = (
+            int(args.get("seed", 0))
+            if args.get("reproducible", True)
+            else int.from_bytes(os.urandom(4), "little")
+        )
+    seed = int(seed)
     if multihost:
         # every multi-host invariant (identical param init, identical global
         # batch ids with per-host blocks) relies on a SHARED seed — broadcast
@@ -96,6 +121,7 @@ def run(args) -> None:
         from jax.experimental import multihost_utils
 
         seed = int(multihost_utils.broadcast_one_to_all(np.uint32(seed)))
+    args.set_path("resolved_seed", seed)
     seed_everything(seed)
     rng = np.random.default_rng(seed)
     cprint(f"Devices: {jax.devices()}", "cyan")
@@ -113,17 +139,7 @@ def run(args) -> None:
         ):
             args.set_path("tpu.channels_last_io", True)
         # batch-time baseline/scale/clamp (the reference collator)
-        collate = {
-            "baseline_len_samp": int(
-                args.preprocs["brain_resample_rate"] * args.preprocs["baseline_len_sec"]
-            ),
-            "clamp_lim": float(args.preprocs["clamp_lim"]),
-            "clamp": bool(args.preprocs["clamp"]),
-            # per-segment median/IQR precomputed at build; in-step collate is
-            # elementwise (see ops.scaling.apply_scale_stats)
-            "precomputed": True,
-            "channels_last": bool(args.select("tpu.channels_last_io", False)),
-        }
+        collate = build_collate(args)
         accumulate_steps = 1
 
         # device-resident data path: recordings/embeddings/stats live on the
@@ -299,6 +315,7 @@ def run(args) -> None:
         trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
     if trainer.checkpoints:
         trainer.checkpoints.wait()
+    return trainer.history
 
 
 def main():
