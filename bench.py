@@ -69,7 +69,9 @@ def _wait_for_device(budget_s: float) -> str | None:
         left = deadline - time.monotonic()
         if not first and left <= 0:
             return None
-        platform = _probe_device(min(120.0, max(15.0, left)) if not first else 120.0)
+        platform = _probe_device(
+            min(120.0, max(15.0, left if not first else budget_s))
+        )
         if platform is not None and not (want_accel and platform == "cpu"):
             return platform
         first = False
@@ -349,9 +351,11 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
         _log(f"serve: {best * 1e3:.2f} ms / {batch} segs (bank {bank_n}) -> {rate:.0f} seg/s")
 
         # int8-quantized bank variant: 4x less bank HBM traffic + the MXU's
-        # int8 rate for the (B, N) similarity (inference.retrieve_topk_int8)
-        scale = jnp.maximum(jnp.max(jnp.abs(bank_norm), axis=-1), 1e-8) / 127.0
-        bank_q = jnp.round(bank_norm / scale[:, None]).astype(jnp.int8)
+        # int8 rate for the (B, N) similarity — quantized by the SAME
+        # production helper set_bank uses (inference.quantize_rows_int8)
+        from speech_decoding_tpu.inference import quantize_rows_int8
+
+        bank_q, scale = quantize_rows_int8(bank_norm)
 
         @jax.jit
         def chained_q(X, sidx, bank_q, scale, carry):
@@ -384,7 +388,7 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
         return None
 
 
-def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
+def bench_train(n_steps: int = 100, batch_size: int = 64) -> tuple:
     import jax
     import jax.numpy as jnp
 
@@ -409,7 +413,6 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     jax.block_until_ready(metrics["loss"])
     _log("train timed run")
 
-    n_steps = 100
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, base_key)
@@ -445,6 +448,23 @@ def bench_train(n_steps: int = 20, batch_size: int = 64) -> float:
     return single_rate, scan_rate, {"train_step_gflops": round(step_flops / 1e9, 1) if step_flops else None, "train_mfu": round(mfu, 4) if mfu else None}
 
 
+def _error_json(error: str) -> str:
+    """The ONE device-outage artifact shape (both failure branches of main)."""
+    return json.dumps(
+        {
+            "metric": "gwilliams_preproc_meg_seconds_per_sec",
+            "value": 0,
+            "unit": "MEG-sec/s",
+            "vs_baseline": 0,
+            "extra": {
+                "error": error,
+                "note": "harness tunnel outage, not a code failure; "
+                "see BENCH_r02.json for the last healthy numbers",
+            },
+        }
+    )
+
+
 def main():
     # bounded wait for the device backend before importing jax in-process
     # (BENCH_WAIT_DEVICE_S env, default 10 min): a hung tunnel would
@@ -453,19 +473,9 @@ def main():
     probed_platform = _wait_for_device(budget)
     if probed_platform is None:
         print(
-            json.dumps(
-                {
-                    "metric": "gwilliams_preproc_meg_seconds_per_sec",
-                    "value": 0,
-                    "unit": "MEG-sec/s",
-                    "vs_baseline": 0,
-                    "extra": {
-                        "error": f"device backend unreachable for {budget:.0f}s "
-                        "(subprocess probe of jax.devices() hung or failed)",
-                        "note": "harness tunnel outage, not a code failure; "
-                        "see BENCH_r02.json for the last healthy numbers",
-                    },
-                }
+            _error_json(
+                f"device backend unreachable for {budget:.0f}s "
+                "(subprocess probe of jax.devices() hung or failed)"
             )
         )
         return
@@ -478,21 +488,7 @@ def main():
         # the tunneled TPU backend has multi-hour outages (observed this
         # round); emit ONE honest JSON line instead of crashing with no
         # artifact at all
-        print(
-            json.dumps(
-                {
-                    "metric": "gwilliams_preproc_meg_seconds_per_sec",
-                    "value": 0,
-                    "unit": "MEG-sec/s",
-                    "vs_baseline": 0,
-                    "extra": {
-                        "error": f"device backend unavailable: {e}",
-                        "note": "harness tunnel outage, not a code failure; "
-                        "see BENCH_r02.json for the last healthy numbers",
-                    },
-                }
-            )
-        )
+        print(_error_json(f"device backend unavailable: {e}"))
         return
     compute_rate = bench_preproc()
     e2e = bench_preproc_e2e()

@@ -40,15 +40,19 @@ def _quantize_i16(stack: np.ndarray, channel_axis: int):
     """Per-(array, channel) symmetric int16 quantization over the time axis:
     returns (q int16, scale f32 (N, C)). /32766 with round-half-up keeps the
     rounded values inside int16 with no clip pass (the _ship_raw convention,
-    ops/brain_preproc.py); ~90 dB SNR on raw M/EEG dynamic range."""
+    ops/brain_preproc.py); ~90 dB SNR on raw M/EEG dynamic range.
+
+    CONSUMES ``stack`` (quantizes in place): the full MEG-MASC stack is ~6 GB
+    f32, and an out-of-place divide would transiently hold a second 6 GB copy
+    on a path whose whole point is fitting big data."""
     time_axis = 1 if channel_axis == 2 else 2
     scale = np.abs(stack).max(axis=time_axis) / 32766.0  # (N, C)
     scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
     denom = scale[:, None, :] if channel_axis == 2 else scale[:, :, None]
-    buf = stack / denom
-    buf += np.float32(0.5)
-    np.floor(buf, out=buf)
-    return buf.astype(np.int16), scale
+    np.divide(stack, denom, out=stack)
+    stack += np.float32(0.5)
+    np.floor(stack, out=stack)
+    return stack.astype(np.int16), scale
 
 
 class DeviceResidentGwilliams:

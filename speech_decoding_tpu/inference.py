@@ -48,6 +48,21 @@ def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array
     return jax.lax.top_k(sim, min(int(k), bank_norm.shape[0]))
 
 
+# largest contraction length whose int8 x int8 dot cannot overflow int32:
+# every product is <= 127^2, so a chunk of 2^17 terms sums to <= 2.11e9 < 2^31
+_INT8_DOT_CHUNK = 1 << 17
+
+
+def quantize_rows_int8(rows: Array) -> Tuple[Array, Array]:
+    """Per-row symmetric int8 quantization: returns (q (N, D) int8,
+    scale (N,) f32) with q * scale ~= rows. The ONE quantization scheme for
+    int8 retrieval banks — ``SpeechDecoder.set_bank`` and bench.py both use
+    it, so the benchmark measures exactly the production path."""
+    scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1), 1e-8) / 127.0
+    q = jnp.round(rows / scale[:, None]).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def retrieve_topk_int8(
     Z: Array, bank_q: Array, bank_scale: Array, k: int = 10
 ) -> Tuple[Array, Array]:
@@ -56,13 +71,35 @@ def retrieve_topk_int8(
     to int8 on the fly and the (B, N) similarity runs as an int8 x int8 ->
     int32 matmul — 4x less bank HBM traffic than f32 and the MXU's int8 rate,
     for ~1e-2 relative score error (per-row symmetric 1/127 quantization of
-    unit-norm vectors). bank_q: (N, D) int8; bank_scale: (N,) float32."""
+    unit-norm vectors). bank_q: (N, D) int8; bank_scale: (N,) float32.
+
+    The contraction is computed in int32 chunks of 2^17 terms accumulated in
+    f32: at flagship D = F*T = 369k a single int32 dot could reach
+    D * 127^2 ~ 5.9e9 > 2^31 for flat-magnitude rows and wrap negative,
+    silently dropping the true best match from the top-k."""
     z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
     zscale = jnp.maximum(jnp.max(jnp.abs(z), axis=-1, keepdims=True), 1e-8) / 127.0
     zq = jnp.round(z / zscale).astype(jnp.int8)
-    sim_i32 = jnp.matmul(zq, bank_q.T, preferred_element_type=jnp.int32)
-    sim = sim_i32.astype(jnp.float32) * zscale * bank_scale[None, :]
+    D = zq.shape[1]
+    if D <= _INT8_DOT_CHUNK:
+        sim_i32f = jnp.matmul(
+            zq, bank_q.T, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        n = -(-D // _INT8_DOT_CHUNK)
+        pad = n * _INT8_DOT_CHUNK - D
+        zq3 = jnp.pad(zq, ((0, 0), (0, pad))).reshape(-1, n, _INT8_DOT_CHUNK)
+        bq3 = jnp.pad(bank_q, ((0, 0), (0, pad))).reshape(-1, n, _INT8_DOT_CHUNK)
+        # (n, B, N) int32 per-chunk partials -> f32 sum (zero padding is exact)
+        parts = jax.lax.dot_general(
+            jnp.swapaxes(zq3, 0, 1),
+            jnp.swapaxes(bq3, 0, 1),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        sim_i32f = jnp.sum(parts.astype(jnp.float32), axis=0)
+    sim = sim_i32f * zscale * bank_scale[None, :]
     return jax.lax.top_k(sim, min(int(k), bank_q.shape[0]))
 
 
@@ -197,7 +234,6 @@ class SpeechDecoder:
             self.encode_fn = jax.jit(
                 lambda X, sidx: encoder.apply(self._variables, X, sidx, train=False)
             )
-        self.bank = None
         self._bank_norm = None
         self._bank_q = self._bank_scale = None
         if bank is not None:
@@ -224,7 +260,9 @@ class SpeechDecoder:
             jnp.zeros((sample_X.shape[0],), jnp.int32),
         )
         mgr = CheckpointManager(checkpoint_dir)
-        state, _ = mgr.restore(state, epoch)
+        # params/stats only: serving never needs the optimizer state, whose
+        # pytree shape depends on training wiring (MultiSteps for Brennan)
+        state, _ = mgr.restore_for_eval(state, epoch)
         return cls(
             encoder,
             state.params["encoder"],
@@ -250,8 +288,12 @@ class SpeechDecoder:
         output passed here directly (the self-bank idiom) is therefore
         (N, T, F), the WRONG layout — that mix-up is detected by the
         feature-axis check below and raises instead of silently mis-ranking
-        (swap the last two axes first)."""
-        bank = jnp.asarray(bank, jnp.float32)
+        (swap the last two axes first).
+
+        Only the normalized (and optionally quantized) flat rows are kept:
+        a host (numpy) bank is reshaped host-side and transferred straight
+        into its final (sharded) layout, so a bank larger than one chip's
+        HBM never materializes f32 on a single device."""
         nf = self.encoder.F
         if bank.ndim != 3 or bank.shape[1] != nf:
             hint = (
@@ -264,36 +306,48 @@ class SpeechDecoder:
                 f"bank must be reference layout (N, F={nf}, T), got "
                 f"{tuple(bank.shape)}{hint}"
             )
-        self.bank = bank
-        if self.encoder.channels_last_io:
-            bank = jnp.swapaxes(bank, -1, -2)
-        flat = jnp.reshape(bank, (bank.shape[0], -1))
-        norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
-        bank_norm = flat / jnp.maximum(norm, 1e-8)
-        self._bank_q = self._bank_scale = None
-        if store_dtype == "int8":
-            # per-row symmetric quantization of the unit-norm rows: 4x less
-            # HBM for the bank and the similarity runs on the MXU's int8
-            # path (retrieve_topk_int8); ~1e-2 relative score error
-            scale = jnp.maximum(jnp.max(jnp.abs(bank_norm), axis=-1), 1e-8) / 127.0
-            self._bank_q = jnp.round(bank_norm / scale[:, None]).astype(jnp.int8)
-            self._bank_scale = scale.astype(jnp.float32)
-            self._bank_norm = None
-        elif store_dtype == "float32":
-            self._bank_norm = bank_norm
-        else:
-            raise ValueError(f"store_dtype must be float32 or int8, got {store_dtype}")
+        rows = scale_sh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             rows = NamedSharding(mesh, PartitionSpec("data", None))
-            if self._bank_norm is not None:
-                self._bank_norm = jax.device_put(self._bank_norm, rows)
-            else:
+            scale_sh = NamedSharding(mesh, PartitionSpec("data"))
+        if isinstance(bank, np.ndarray):
+            # host path: transpose/flatten in numpy, transfer once into the
+            # final row layout (sharded when a mesh is given)
+            arr = np.asarray(bank, np.float32)
+            if self.encoder.channels_last_io:
+                arr = np.swapaxes(arr, -1, -2)
+            flat_host = np.ascontiguousarray(arr.reshape(arr.shape[0], -1))
+            flat = (
+                jax.device_put(flat_host, rows)
+                if rows is not None
+                else jnp.asarray(flat_host)
+            )
+        else:
+            flat = jnp.asarray(bank, jnp.float32)
+            if self.encoder.channels_last_io:
+                flat = jnp.swapaxes(flat, -1, -2)
+            flat = jnp.reshape(flat, (flat.shape[0], -1))
+            if rows is not None:
+                flat = jax.device_put(flat, rows)
+        # row-wise normalize (and quantize) AFTER placement: elementwise /
+        # per-row ops run shard-local under GSPMD, so nothing gathers
+        norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
+        bank_norm = flat / jnp.maximum(norm, 1e-8)
+        self._bank_q = self._bank_scale = self._bank_norm = None
+        if store_dtype == "int8":
+            # per-row symmetric quantization of the unit-norm rows: 4x less
+            # HBM for the bank and the similarity runs on the MXU's int8
+            # path (retrieve_topk_int8); ~1e-2 relative score error
+            self._bank_q, self._bank_scale = quantize_rows_int8(bank_norm)
+            if scale_sh is not None:
                 self._bank_q = jax.device_put(self._bank_q, rows)
-                self._bank_scale = jax.device_put(
-                    self._bank_scale, NamedSharding(mesh, PartitionSpec("data"))
-                )
+                self._bank_scale = jax.device_put(self._bank_scale, scale_sh)
+        elif store_dtype == "float32":
+            self._bank_norm = bank_norm
+        else:
+            raise ValueError(f"store_dtype must be float32 or int8, got {store_dtype}")
 
     def encode(self, X: np.ndarray, subject_idxs: np.ndarray) -> Array:
         """Brain segments (B, C, T) -> embeddings (B, F, T), eval mode."""

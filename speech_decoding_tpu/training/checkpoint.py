@@ -126,3 +126,36 @@ class CheckpointManager:
         )
         cprint(f"Restored checkpoint @ epoch {epoch} from {self.directory}", "green")
         return new_state, epoch
+
+    def restore_for_eval(
+        self,
+        state: TrainState,
+        epoch: Optional[int] = None,
+        best: bool = False,
+    ) -> Tuple[TrainState, int]:
+        """Restore params / BN stats / step only, ignoring the saved
+        optimizer state. Eval and serving never need it, and its pytree
+        SHAPE depends on training wiring (Brennan runs wrap Adam in
+        optax.MultiSteps [ref: train.py:205-209 accumulation]), so a full
+        ``restore`` into a default-built state would fail on a structure
+        mismatch."""
+        mgr = self._best_mgr if best else self._mgr
+        assert mgr is not None, "best-model tracking not configured"
+        if epoch is None:
+            epoch = mgr.best_step() if best else self.latest_epoch()
+        assert epoch is not None, "no checkpoint to restore"
+        # raw (target-less) restore: returns the saved tree as host arrays;
+        # this orbax version's StandardRestore has no partial_restore, and a
+        # target tree would have to include the training-shaped opt_state
+        restored = mgr.restore(epoch)
+        new_state = state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+        )
+        cprint(
+            f"Restored checkpoint (eval: params/stats only) @ epoch {epoch} "
+            f"from {self.directory}",
+            "green",
+        )
+        return new_state, epoch

@@ -40,6 +40,10 @@ def test_brennan_cli_end_to_end(tmp_path, w2v):
     root = str(tmp_path)
     fixtures.make_brennan_tree(root, eeg_secs=30.0, audio_secs=30.0)
     cfg = _common_overrides(fixtures.make_config(root, "Brennan2018"))
+    # batch_size 2 -> accumulate_steps 3: the checkpoint's opt_state is a
+    # MultiSteps wrapper, which evaluate's restore must tolerate (it
+    # restores params/stats only)
+    cfg.batch_size = 2
 
     # pre-build caches with the tiny wav2vec (no network)
     from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset

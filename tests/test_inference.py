@@ -190,7 +190,8 @@ def test_decode_stream_self_retrieval(rng):
     dec = SpeechDecoder(
         enc, state.params["encoder"], state.batch_stats, use_fused_blocks=False
     )
-    dec.set_bank(dec.encode(windows, np.zeros(nw, np.int32)))
+    bank = dec.encode(windows, np.zeros(nw, np.int32))  # (W, F, T)
+    dec.set_bank(bank)
 
     # batch_size=3 -> final batch has 2 real + 1 padded window
     scores, ids, onsets = dec.decode_stream(
@@ -208,7 +209,7 @@ def test_decode_stream_self_retrieval(rng):
     dec_cl = SpeechDecoder(
         enc_cl, state.params["encoder"], state.batch_stats, use_fused_blocks=False
     )
-    dec_cl.set_bank(dec.bank)  # (W, F, T) reference layout, auto-transposed
+    dec_cl.set_bank(bank)  # (W, F, T) reference layout, auto-transposed
     s_cl, i_cl, o_cl = dec_cl.decode_stream(
         X_cont.T, 0, seg, hop=hop, k=3, batch_size=3
     )
@@ -333,3 +334,27 @@ def test_int8_bank_matches_f32_ranking(rng):
     rec = rng.normal(size=(C, T * 6)).astype(np.float32)
     scores, ids, onsets = dec.decode_stream(rec, 0, segment_len=T, k=3)
     assert scores.shape == (6, 3) and onsets.shape == (6,)
+
+
+def test_int8_retrieval_no_int32_overflow():
+    """Flat-magnitude unit-norm rows at flagship D = F*T = 369k saturate the
+    int8 grid on every element, so one unchunked int8 dot would reach
+    D * 127^2 ~ 5.9e9 > 2^31 and wrap negative — the true best match would
+    drop out of the top-k entirely. The chunked accumulation must keep the
+    self-match on top with score ~1."""
+    from speech_decoding_tpu.inference import quantize_rows_int8, retrieve_topk_int8
+
+    D = 1024 * 360
+    # rows of +-1/sqrt(D): unit-norm, max|row| == mean|row| (crest factor 1)
+    signs = np.where(
+        np.random.default_rng(3).random((4, D)) < 0.5, -1.0, 1.0
+    ).astype(np.float32)
+    bank = signs / np.sqrt(D)
+    bank_q, scale = quantize_rows_int8(jnp.asarray(bank))
+    # every element saturates to +-127: the worst case for the accumulator
+    assert int(jnp.max(jnp.abs(bank_q.astype(jnp.int32)))) == 127
+    Z = bank.reshape(4, 1024, 360)
+    s, ids = map(np.asarray, retrieve_topk_int8(jnp.asarray(Z), bank_q, scale, k=2))
+    np.testing.assert_array_equal(ids[:, 0], np.arange(4))
+    np.testing.assert_allclose(s[:, 0], 1.0, atol=1e-2)
+    assert np.all(s[:, 0] > s[:, 1])

@@ -45,6 +45,13 @@ def evaluate(args) -> dict:
     # default ``reproducible: false`` the split pools are a function of the
     # seed the run actually drew, not of configs/config.yaml's ``seed``
     seed = int(args.select("resolved_seed", args.get("seed", 0)))
+    # seed the GLOBAL rngs too: the Gwilliams sentence split shuffles
+    # sentence ids via np.random [ref: gwilliams2022.py:424-441 semantics],
+    # which train.py seeds through seed_everything — without this, a
+    # sentence-split eval would re-draw a different train/test split
+    from speech_decoding_tpu.utils.reproducibility import seed_everything
+
+    seed_everything(seed)
     rng = np.random.default_rng(seed)
 
     # host batches here are always channels-first (B, C, T); the param tree is
@@ -133,7 +140,10 @@ def evaluate(args) -> dict:
             else None,
         )
         epoch = args.select("eval.epoch", None)
-        state, epoch = mgr.restore(
+        # params/stats only: the saved opt_state's pytree shape depends on
+        # training wiring (optax.MultiSteps for Brennan accumulation) and
+        # eval never needs it
+        state, epoch = mgr.restore_for_eval(
             state, epoch=int(epoch) if epoch is not None else None, best=best
         )
         restored_from = {"checkpoint_dir": ckpt_dir, "epoch": int(epoch),
