@@ -55,9 +55,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(
-        _SRC_PATH
+    # rebuild only when the source is present AND newer; a prebuilt .so
+    # without its .cpp (built-artifact-only deployments) loads as-is
+    have_src = os.path.exists(_SRC_PATH)
+    if not os.path.exists(_SO_PATH) or (
+        have_src and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
     ):
+        if not have_src:
+            cprint("native gather source and .so both missing; numpy fallback", "yellow")
+            return None
         if not _build():
             return None
     lib = ctypes.CDLL(_SO_PATH)
@@ -150,24 +156,61 @@ class Prefetcher:
         self._transform = transform
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+
+        def put(item) -> bool:
+            # stop-aware bounded put: an abandoned consumer would otherwise
+            # leave this thread blocked forever, pinning ``depth`` device
+            # batches and the source iterator for the process lifetime
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def run():
             try:
                 for item in batch_iter:
-                    self._q.put(self._transform(item) if self._transform else item)
+                    if self._stop.is_set():
+                        break
+                    if not put(self._transform(item) if self._transform else item):
+                        break
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._done)
+                if hasattr(batch_iter, "close"):
+                    try:
+                        batch_iter.close()
+                    except Exception:
+                        pass
+                put(self._done)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
+    def close(self) -> None:
+        """Stop the producer and release queued batches. Idempotent; called
+        automatically when the consuming iterator exits (normally or not)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):
+        self._stop.set()
+
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._done:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._done:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()

@@ -196,11 +196,14 @@ def _grouped_exact(
     for idx, r in enumerate(recordings):
         by_len.setdefault(int(r.shape[-1]), []).append(idx)
     step = max(int(microbatch), 1)
+    # design the FIR once for the whole call (scipy firwin of ~16k taps per
+    # design — per-microbatch redesign would repeat it ~N/microbatch times)
+    taps = jnp.asarray(design_bandpass_fir(sfreq, l_freq, h_freq))
     for _, idxs in sorted(by_len.items()):
         for j in range(0, len(idxs), step):
             grp = idxs[j : j + step]
             stacked = jnp.stack([_ship_raw(recordings[k], transfer_dtype) for k in grp])
-            y = preprocess_exact(stacked, sfreq, l_freq, h_freq, down=down)
+            y = fft_resample(fir_filter_zero_phase(stacked, taps), up=1.0, down=down)
             for t, k in enumerate(grp):
                 outs[k] = np.asarray(y[t]) if to_host else y[t]
     return outs
@@ -274,10 +277,14 @@ def preprocess_batch(
         if n_q != n:
             ext = n_q - n
             re = min(ext, n - 1)
-            tail = 2 * r[..., -1:] - r[..., -2 : -re - 2 : -1]
-            parts = [np.asarray(r, np.float32), tail.astype(np.float32)]
+            parts = [np.asarray(r, np.float32)]
+            if re > 0:
+                tail = 2 * r[..., -1:] - r[..., -2 : -re - 2 : -1]
+                parts.append(tail.astype(np.float32))
             if re < ext:  # very short recording: extend with the edge value
-                parts.append(np.repeat(tail[..., -1:], ext - re, axis=-1))
+                # (parts[-1] is the reflection tail, or the recording itself
+                # when re == 0 — a 1-sample recording has nothing to reflect)
+                parts.append(np.repeat(parts[-1][..., -1:], ext - re, axis=-1))
             r = np.concatenate(parts, axis=-1)
         quantized.append(r)
     recordings = quantized
@@ -299,10 +306,12 @@ def preprocess_batch(
 
     def _readback(y, crops):
         # np.asarray is the only blocking point; by the time it runs, the NEXT
-        # microbatch's transfer + compute have already been enqueued
+        # microbatch's transfer + compute have already been enqueued.
+        # .copy(): a view would pin the whole lane-padded microbatch buffer
+        # (sized by the LONGEST recording) for every returned crop
         host = np.asarray(y)
         for rec, (start, n_out) in zip(host, crops):
-            outs.append(rec[..., start : start + n_out])
+            outs.append(rec[..., start : start + n_out].copy())
 
     outs = []
     pending = None  # depth-2 software pipeline: readback of microbatch k

@@ -84,12 +84,20 @@ def design_bandpass_fir(
 
 def reflect_limited_pad(x: Array, n_pad: int) -> Array:
     """MNE 'reflect_limited' padding: odd reflection about the edge sample
-    (2*edge - x reversed), applied on the last axis."""
+    (2*edge - x reversed), applied on the last axis. Pads beyond one full
+    reflection (n_pad > T-1) are ZERO-extended, exactly like MNE's
+    ``_smart_pad`` — silently truncating instead would return a
+    shorter-than-requested array and desynchronize callers that slice by the
+    requested pad."""
     T = x.shape[-1]
-    n_pad = min(n_pad, T - 1)
-    left = 2 * x[..., :1] - x[..., n_pad:0:-1]
-    right = 2 * x[..., -1:] - x[..., -2 : -n_pad - 2 : -1]
-    return jnp.concatenate([left, x, right], axis=-1)
+    m = min(n_pad, T - 1)
+    left = 2 * x[..., :1] - x[..., m:0:-1]
+    right = 2 * x[..., -1:] - x[..., -2 : -m - 2 : -1]
+    parts = [left, x, right]
+    if n_pad > m:
+        z = jnp.zeros(x.shape[:-1] + (n_pad - m,), x.dtype)
+        parts = [z, *parts, z]
+    return jnp.concatenate(parts, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("pad",))
@@ -104,7 +112,9 @@ def fir_filter_zero_phase(x: Array, taps: Array, pad: bool = True) -> Array:
     N = taps.shape[-1]
     assert N % 2 == 1, "zero-phase application requires odd-length taps"
     T = x.shape[-1]
-    n_edge = min(N - 1, T - 1) if pad else 0
+    # full N-1 edge pad like MNE (zero-extended beyond one reflection for
+    # T <= N-1): the FFT convolution then never wraps into the signal
+    n_edge = N - 1 if pad else 0
     if pad:
         x = reflect_limited_pad(x, n_edge)
     Tp = x.shape[-1]

@@ -51,3 +51,39 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_prefetcher_shuts_down_on_early_consumer_exit():
+    """A consumer that stops iterating early (break / exception) must release
+    the producer thread — it used to block forever on the bounded queue,
+    pinning in-flight batches and the source iterator for the process
+    lifetime."""
+    import time
+
+    closed = {"v": False}
+
+    def gen():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed["v"] = True
+
+    pf = Prefetcher(gen(), depth=2)
+    for x in pf:
+        if x >= 3:
+            break  # abandon mid-stream
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+    assert closed["v"], "source iterator was not closed"
+
+    # and an exception inside the consumer loop does the same
+    pf2 = Prefetcher(iter(range(1000)), depth=2)
+    with pytest.raises(ValueError):
+        for x in pf2:
+            raise ValueError("consumer failed")
+    pf2._thread.join(timeout=5.0)
+    assert not pf2._thread.is_alive()
+    # close() is idempotent
+    pf2.close()
+    time.sleep(0)  # no deadlock / no error

@@ -380,6 +380,45 @@ class TestPreprocessBatch:
             ideal = np.sin(2 * np.pi * 7.0 * t2)
             assert np.abs(y[60:-60] - ideal[60:-60]).max() < 0.25
 
+    def test_very_mixed_lengths(self, rng):
+        """A 45x length spread in one bucket: the short recording's share of
+        the pow2 pad greatly exceeds its own length, so reflect-limited
+        padding must ZERO-extend beyond one full reflection (MNE _smart_pad
+        semantics). Regression: the on-device pad used to truncate silently
+        and crash jnp.stack with a shape mismatch."""
+        from speech_decoding_tpu.ops.brain_preproc import (
+            preprocess_batch,
+            preprocess_exact,
+        )
+
+        recs = [
+            rng.normal(size=(2, 4000)).astype(np.float32),
+            rng.normal(size=(2, 180000)).astype(np.float32),
+        ]
+        outs = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0)
+        # exact-chain threshold: 0.995 for the short recording; the long one
+        # accumulates the MNE padded-grid rate quirk (~1e-5 relative) into a
+        # PROGRESSIVE drift (~0.5 output samples over 180k input samples at
+        # white-noise bandwidth) that no constant lag compensates — the
+        # default fused path resamples on the exact rational grid instead
+        # (documented deviation, cf. preprocs.exact_mne_grid)
+        for r, o, margin, thresh in zip(recs, outs, (100, 200), (0.995, 0.98)):
+            ex = np.asarray(
+                preprocess_exact(jnp.asarray(r), 500.0, 1.0, 60.0, down=500 / 120)
+            )
+            assert o.shape == ex.shape == (2, round(r.shape[-1] * 120 / 500))
+            up = 8
+            of = np.asarray(fft_resample(jnp.asarray(o[0:1]), up=float(up)))[0]
+            ef = np.asarray(fft_resample(jnp.asarray(ex[0:1]), up=float(up)))[0]
+            core = slice(margin * up, -margin * up)
+            a = of[core] - of[core].mean()
+            best = 0.0
+            for lag in range(-up, up + 1):
+                b = ef[core.start + lag : len(ef) + core.stop + lag]
+                b = b - b.mean()
+                best = max(best, float(np.corrcoef(a, b)[0, 1]))
+            assert best > thresh, (r.shape, best)
+
     def test_short_recordings_fall_back_to_exact(self, rng):
         """When the shared pow2 padding is shorter than the filter half-length
         the circular wrap would corrupt the signal; the exact per-recording
