@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from speech_decoding_tpu.training.state import TrainState
@@ -148,6 +150,12 @@ class CheckpointManager:
         # this orbax version's StandardRestore has no partial_restore, and a
         # target tree would have to include the training-shaped opt_state
         restored = mgr.restore(epoch)
+        # host numpy -> jax arrays: downstream jits (SpeechDecoder) close over
+        # these params, and numpy constants break traced indexing (W[tracer])
+        restored = {
+            k: jax.tree.map(jnp.asarray, restored[k])
+            for k in ("step", "params", "batch_stats")
+        }
         new_state = state.replace(
             step=restored["step"],
             params=restored["params"],

@@ -109,6 +109,33 @@ class TestBrennan:
         # robust scaling + clamp applied
         assert np.abs(batch["X"]).max() <= cfg.preprocs["clamp_lim"]
 
+    REAL_DATASETS_MAT = "/root/reference/data/Brennan2018/datasets.mat"
+
+    @pytest.mark.skipif(
+        not os.path.exists(REAL_DATASETS_MAT),
+        reason="real Brennan2018 metadata not present on this image",
+    )
+    def test_excluded_subjects_match_real_metadata(self):
+        """Golden vs the REAL Brennan2018 distribution metadata: the authors'
+        ``datasets.mat`` ships ``high_noise`` + ``low_perf`` + ``use`` subject
+        lists; our hardcoded ``EXCLUDED_SUBJECTS`` [ref: brennan2018.py:216-233]
+        must equal the union of the two exclusion lists, and the complement
+        must equal the 33 subjects the authors marked usable."""
+        import scipy.io
+
+        from speech_decoding_tpu.data.brennan2018 import EXCLUDED_SUBJECTS
+
+        m = scipy.io.loadmat(self.REAL_DATASETS_MAT)
+
+        def names(a):
+            return {str(x[0]).removesuffix(".mat") for x in a.ravel()}
+
+        excluded_real = names(m["high_noise"]) | names(m["low_perf"])
+        assert set(EXCLUDED_SUBJECTS) == excluded_real
+        all_subjects = {f"S{i:02d}" for i in range(1, 50)}
+        assert all_subjects - set(EXCLUDED_SUBJECTS) == names(m["use"])
+        assert len(names(m["use"])) == 33  # [ref: brennan2018.py:284-287]
+
     def test_cache_reuse(self, brennan_root, w2v):
         from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
 
