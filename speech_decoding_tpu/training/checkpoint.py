@@ -79,16 +79,23 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
-    def save(self, epoch: int, state: TrainState, extra: Optional[Dict] = None) -> None:
+    def save(
+        self,
+        epoch: int,
+        state: TrainState,
+        extra: Optional[Dict] = None,
+        force: bool = False,
+    ) -> None:
         """``extra``: epoch metrics dict; feeds best-model tracking when
-        ``track_metric`` is configured."""
+        ``track_metric`` is configured. ``force`` bypasses the
+        ``every_epochs`` cadence (preemption-requested mid-epoch saves)."""
         if self._best_mgr is not None and extra and self.track_metric in extra:
             self._best_mgr.save(
                 epoch,
                 args=ocp.args.StandardSave(self._payload(state)),
                 metrics={self.track_metric: float(extra[self.track_metric])},
             )
-        if epoch % self.every_epochs:
+        if epoch % self.every_epochs and not force:
             return
         self._mgr.save(epoch, args=ocp.args.StandardSave(self._payload(state)))
 

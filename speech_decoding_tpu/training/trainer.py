@@ -164,6 +164,38 @@ class Trainer:
         self.is_primary = jax.process_index() == 0
         self._key = jax.random.fold_in(key, 977)
         self.history: List[Dict] = []
+        # cooperative preemption (training/preemption.py): train.py installs
+        # a PreemptionGuard and assigns it here; run_epoch polls it between
+        # dispatches and checkpoints mid-epoch on request
+        self.preemption = None
+        self.preempted = False
+        self._preempt_sync_every = max(
+            1, int(args.select("tpu.preempt_sync_every", 25))
+        )
+
+    def _preempt_check(self, i: int) -> bool:
+        """Poll the guard after dispatch ``i``. Single-host: act on the local
+        flag immediately. Multi-host: hosts agree via a scalar allgather at a
+        fixed dispatch cadence so every process enters the collective
+        checkpoint save at the same step (a lone flagged host must never
+        block in orbax's barrier alone)."""
+        if self.preemption is None or self.preempted:
+            return self.preempted
+        self.preemption.step_tick()
+        flag = self.preemption.requested
+        if self.multihost:
+            if (i + 1) % self._preempt_sync_every:
+                return False
+            from jax.experimental import multihost_utils
+
+            flag = bool(
+                np.asarray(
+                    multihost_utils.process_allgather(np.asarray(flag))
+                ).any()
+            )
+        if flag:
+            self.preempted = True
+        return flag
 
     def _to_global_replicated(self, tree):
         """Host-identical values -> global fully-replicated arrays."""
@@ -226,6 +258,8 @@ class Trainer:
                 step_fn = self.train_step if i == last_idx else self.forward_step
                 self.state, metrics = step_fn(self.state, self._put(batch), k)
                 train_metrics.append(metrics)
+                if self._preempt_check(i):
+                    break
         elif self.scan_steps > 1:
             # scan mode: k optimizer steps per dispatch (host thread stacks
             # and transfers groups while the device runs the previous group)
@@ -257,7 +291,7 @@ class Trainer:
                     t[1],
                 ),
             )
-            for batch, k_group in pf:
+            for i, (batch, k_group) in enumerate(pf):
                 if k_group:
                     segments += batch["X"].shape[0] * batch["X"].shape[1]
                     self.state, metrics = self.train_step_scan(
@@ -269,16 +303,22 @@ class Trainer:
                         self.state, batch, self._key
                     )
                 train_metrics.append(metrics)
+                if self._preempt_check(i):
+                    break
         else:
             # background host thread: batch assembly + device transfer overlap
             # with device compute (double buffering); constant base key — the
             # per-step dropout key folds from state.step inside the jit
             from speech_decoding_tpu.data.native_loader import Prefetcher
 
-            for batch in Prefetcher(iter(train_batches), transform=self._put):
+            for i, batch in enumerate(
+                Prefetcher(iter(train_batches), transform=self._put)
+            ):
                 segments += batch["X"].shape[0]
                 self.state, metrics = self.train_step(self.state, batch, self._key)
                 train_metrics.append(metrics)
+                if self._preempt_check(i):
+                    break
         # pull once per epoch (metrics are tiny; avoids per-step syncs);
         # scan-mode entries carry a leading k axis — flatten them
         pulled = []
@@ -303,7 +343,7 @@ class Trainer:
             "train_segments_per_sec": segments / max(train_time, 1e-9),
         }
 
-        if test_batch is not None:
+        if test_batch is not None and not self.preempted:
             # transfer the (large, constant) test batch once, not per epoch
             if getattr(self, "_test_cache_id", None) != id(test_batch):
                 self._test_cache = self._put_eval(test_batch)
@@ -348,5 +388,15 @@ class Trainer:
             # each passes its host snapshot of the fully-replicated state and
             # orbax's primary host writes
             st = jax.device_get(self.state) if self.multihost else self.state
-            self.checkpoints.save(epoch, st, extra=out)
+            # a preempted epoch force-saves mid-epoch state regardless of the
+            # every_epochs cadence — this is the whole point of the guard
+            self.checkpoints.save(epoch, st, extra=out, force=self.preempted)
+        if self.preempted and self.is_primary:
+            cprint(
+                f"Preemption requested — epoch {epoch} stopped after "
+                f"{len(train_metrics)} dispatch(es); state "
+                f"{'checkpointed' if self.checkpoints else 'NOT saved (no checkpoint manager)'}; "
+                f"resume continues at epoch {epoch + 1}",
+                "yellow",
+            )
         return out

@@ -155,3 +155,34 @@ def test_gwilliams_device_resident(tmp_path, w2v):
     assert out["epoch"] == hist[-1]["epoch"]
     assert out["test_loss"] == pytest.approx(hist[-1]["test_loss"], rel=2e-4)
     assert out["testTop10acc"] == pytest.approx(hist[-1]["testTop10acc"], abs=1e-6)
+
+
+def test_preemption_drill_and_resume(tmp_path, w2v):
+    """Fault-injection drill through the CLI: tpu.preempt_after_steps
+    self-delivers a real SIGTERM mid-epoch; the run checkpoints, exits
+    cleanly after the interrupted epoch, and a plain rerun resumes from the
+    next epoch and completes."""
+    root = str(tmp_path)
+    fixtures.make_brennan_tree(root, eeg_secs=30.0, audio_secs=30.0)
+    cfg = _common_overrides(fixtures.make_config(root, "Brennan2018"))
+    cfg.epochs = 3
+
+    from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+    build_cfg = cfg.copy()
+    build_cfg.root_dir = root
+    build_cfg.rebuild_dataset = True
+    Brennan2018Dataset(build_cfg, wav2vec=w2v)
+
+    drill = cfg.copy()
+    drill.set_path("tpu.preempt_after_steps", 2)
+    hist = train_cli.run(drill)
+    assert len(hist) == 1 and hist[0]["epoch"] == 0
+    assert "test_loss" not in hist[0]  # eval skipped mid-preemption
+    ckpt_dir = os.path.join(root, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # plain rerun: resumes at epoch 1 and finishes the remaining epochs
+    hist2 = train_cli.run(cfg.copy())
+    assert [h["epoch"] for h in hist2] == [1, 2]
+    assert "test_loss" in hist2[-1]

@@ -175,3 +175,63 @@ def test_chunked_eval_matches_full_eval():
     assert abs(float(full["loss"]) - float(chunked["loss"])) < 1e-4
     assert float(full["top1"]) == float(chunked["top1"])
     assert float(full["top10"]) == float(chunked["top10"])
+
+
+def test_preemption_mid_epoch_checkpoint(tmp_path):
+    """A preemption request between dispatches stops the epoch, force-saves
+    the mid-epoch state (bypassing the every_epochs cadence), skips eval,
+    and a fresh Trainer resumes from it with the step counter intact."""
+    from speech_decoding_tpu.config import load_config
+    from speech_decoding_tpu.training.checkpoint import CheckpointManager
+    from speech_decoding_tpu.training.preemption import PreemptionGuard
+    from speech_decoding_tpu.training.trainer import Trainer
+
+    enc, _, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": np.asarray(X), "Y": np.asarray(Y), "subject_idxs": np.asarray(sidx)}
+
+    def make_cfg():
+        cfg = load_config()
+        cfg.set_path("tpu.compute_dtype", "float32")
+        cfg.set_path("tpu.scan_steps", 1)
+        cfg.epochs = 1
+        return cfg
+
+    ckpts = CheckpointManager(str(tmp_path / "ck"), every_epochs=100)
+    trainer = Trainer(enc, make_cfg(), batch, checkpoints=ckpts)
+    # not installed (no signal handler): step_tick flags directly after 2 steps
+    trainer.preemption = PreemptionGuard(inject_after_steps=2)
+
+    out = trainer.run_epoch(0, [dict(batch) for _ in range(6)], batch)
+    assert trainer.preempted
+    assert "test_loss" not in out  # eval skipped on preemption
+    assert np.isfinite(out["train_loss"])
+    assert int(trainer.state.step) == 2  # stopped after exactly 2 dispatches
+    ckpts.wait()
+    assert ckpts.latest_epoch() == 0  # force-saved despite every_epochs=100
+
+    trainer2 = Trainer(enc, make_cfg(), batch, checkpoints=ckpts)
+    assert trainer2.start_epoch == 1
+    assert int(trainer2.state.step) == 2
+    same = jax.tree.map(
+        np.array_equal,
+        jax.tree.map(np.asarray, trainer.state.params),
+        jax.tree.map(np.asarray, trainer2.state.params),
+    )
+    assert all(jax.tree.leaves(same))
+
+
+def test_preemption_guard_signal_roundtrip():
+    """Installed guard turns a real SIGTERM into a flag (process survives)
+    and uninstall restores the previous handler."""
+    import os
+    import signal
+
+    from speech_decoding_tpu.training.preemption import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as g:
+        assert not g.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert g.requested
+    assert signal.getsignal(signal.SIGTERM) is before

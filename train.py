@@ -307,14 +307,35 @@ def run(args) -> list:
     # epoch, matching the reference's per-access sampling in __getitem__
     # [ref: gwilliams2022.py:133, brennan2018.py:148]
     redraw = bool(args.select("tpu.redraw_test_batch", False))
-    tb = test_batch()
-    for epoch in range(trainer.start_epoch, args.epochs):
-        epoch_rng = np.random.default_rng(seed * 100003 + epoch)
-        if redraw and epoch > trainer.start_epoch:
-            tb = test_batch(salt=1000 * epoch)
-        trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
-    if trainer.checkpoints:
-        trainer.checkpoints.wait()
+
+    # cooperative SIGTERM handling (spot/preemptible TPU pods): checkpoint
+    # mid-epoch and exit cleanly instead of dying with unsaved progress;
+    # tpu.preempt_after_steps=N self-injects a SIGTERM after N dispatches
+    # (fault-injection drill). See training/preemption.py.
+    guard = None
+    if ckpts is not None and bool(args.select("tpu.preemption_guard", True)):
+        from speech_decoding_tpu.training.preemption import PreemptionGuard
+
+        inject = args.select("tpu.preempt_after_steps", None)
+        guard = PreemptionGuard(
+            inject_after_steps=int(inject) if inject else None
+        ).install()
+        trainer.preemption = guard
+
+    try:
+        tb = test_batch()
+        for epoch in range(trainer.start_epoch, args.epochs):
+            epoch_rng = np.random.default_rng(seed * 100003 + epoch)
+            if redraw and epoch > trainer.start_epoch:
+                tb = test_batch(salt=1000 * epoch)
+            trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
+            if trainer.preempted:
+                break
+        if trainer.checkpoints:
+            trainer.checkpoints.wait()
+    finally:
+        if guard is not None:
+            guard.uninstall()
     return trainer.history
 
 
