@@ -55,29 +55,33 @@ def _probe_device(timeout_s: float) -> str | None:
         return None
 
 
-def _wait_for_device(budget_s: float) -> str | None:
+def _wait_for_device(budget_s: float) -> tuple[str | None, str | None]:
     """Retry the device probe until an accelerator answers or the budget is
-    exhausted; returns the platform name or None. Protects the round-end
-    bench artifact against transient tunnel outages (multi-hour outages were
-    observed on this harness). If the env requests an accelerator
-    (JAX_PLATFORMS names a non-cpu backend) but init silently fell back to
-    CPU, keep waiting — a CPU bench would be a misleading artifact."""
+    exhausted; returns ``(platform, last_probe)`` — platform is None on
+    failure, and last_probe records what the final probe actually saw so the
+    error artifact can distinguish a hung/failed probe from a persistent
+    silent accelerator->cpu fallback. Protects the round-end bench artifact
+    against transient tunnel outages (multi-hour outages were observed on
+    this harness). If the env requests an accelerator (JAX_PLATFORMS names a
+    non-cpu backend) but init silently fell back to CPU, keep waiting — a
+    CPU bench would be a misleading artifact."""
     want_accel = "axon" in os.environ.get("JAX_PLATFORMS", "") or "tpu" in os.environ.get("JAX_PLATFORMS", "")
     deadline = time.monotonic() + budget_s
     first = True
+    platform = None
     while True:
         left = deadline - time.monotonic()
         if not first and left <= 0:
-            return None
+            return None, platform
         platform = _probe_device(
             min(120.0, max(15.0, left if not first else budget_s))
         )
         if platform is not None and not (want_accel and platform == "cpu"):
-            return platform
+            return platform, platform
         first = False
         left = deadline - time.monotonic()
         if left <= 0:
-            return None
+            return None, platform
         _log(
             f"device backend {'fell back to cpu' if platform else 'not answering'};"
             f" retrying ({left:.0f}s budget left)"
@@ -470,12 +474,17 @@ def main():
     # (BENCH_WAIT_DEVICE_S env, default 10 min): a hung tunnel would
     # otherwise block jax.devices() forever and leave no JSON artifact
     budget = float(os.environ.get("BENCH_WAIT_DEVICE_S", "600"))
-    probed_platform = _wait_for_device(budget)
+    probed_platform, last_probe = _wait_for_device(budget)
     if probed_platform is None:
+        reason = (
+            "accelerator requested but the backend persistently answered "
+            "'cpu' (silent accelerator->cpu fallback; tunnel down?)"
+            if last_probe == "cpu"
+            else "subprocess probe of jax.devices() hung or failed"
+        )
         print(
             _error_json(
-                f"device backend unreachable for {budget:.0f}s "
-                "(subprocess probe of jax.devices() hung or failed)"
+                f"device backend unreachable for {budget:.0f}s ({reason})"
             )
         )
         return

@@ -235,3 +235,43 @@ def test_preemption_guard_signal_roundtrip():
         os.kill(os.getpid(), signal.SIGTERM)
         assert g.requested
     assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_preempt_multihost_agreement_cadence(tmp_path):
+    """Multi-host agreement must fire even when epochs are shorter than the
+    sync cadence: the dispatch counter is monotonic across epochs and the
+    epoch-end sync point forces an agreement check (regression: a per-epoch
+    index never reached the cadence, leaving the guard silently inert)."""
+    from speech_decoding_tpu.config import load_config
+    from speech_decoding_tpu.training.preemption import PreemptionGuard
+    from speech_decoding_tpu.training.trainer import Trainer
+
+    enc, _, X, sidx = _setup()
+    Y = jax.random.normal(jax.random.PRNGKey(2), (B, F, T))
+    batch = {"X": np.asarray(X), "Y": np.asarray(Y), "subject_idxs": np.asarray(sidx)}
+    cfg = load_config()
+    cfg.set_path("tpu.compute_dtype", "float32")
+    cfg.set_path("tpu.scan_steps", 1)
+
+    def flagged_trainer():
+        t = Trainer(enc, cfg, batch)
+        # exercise the agreement path (process_allgather is a no-op gather
+        # with one process, but the cadence/sync control flow is identical)
+        t.multihost = True
+        t.preemption = PreemptionGuard()
+        t.preemption.request()
+        return t
+
+    # epoch-end sync acts on the flag even with 3 dispatches/epoch < cadence
+    t = flagged_trainer()
+    for _ in range(3):
+        assert not t._preempt_check()  # below cadence: deferred
+    assert t._preempt_check(sync=True)
+    assert t.preempted
+
+    # monotonic counter: the cadence is crossed ACROSS epochs (dispatch 25)
+    t = flagged_trainer()
+    for _ in range(24):
+        assert not t._preempt_check()
+    assert t._preempt_check()
+    assert t.preempted

@@ -44,7 +44,21 @@ def evaluate(args) -> dict:
     # ``resolved_seed`` into its config snapshot) — with the reference-parity
     # default ``reproducible: false`` the split pools are a function of the
     # seed the run actually drew, not of configs/config.yaml's ``seed``
-    seed = int(args.select("resolved_seed", args.get("seed", 0)))
+    seed = args.select("resolved_seed", None)
+    if seed is None:
+        # without a recorded seed a reproducible=false run's split cannot be
+        # reconstructed — re-drawing one would leak trained segments into
+        # the "test" batch and print contaminated metrics. Fail loudly.
+        assert bool(args.get("reproducible", True)), (
+            "this config has reproducible=false and no recorded "
+            "resolved_seed: the training run's train/test split is not "
+            "reconstructible (evaluating a re-drawn split would leak "
+            "training segments into 'test'). Pass the run dir's config "
+            "snapshot (train.py records resolved_seed there) or an explicit "
+            "resolved_seed=N override."
+        )
+        seed = args.get("seed", 0)
+    seed = int(seed)
     # seed the GLOBAL rngs too: the Gwilliams sentence split shuffles
     # sentence ids via np.random [ref: gwilliams2022.py:424-441 semantics],
     # which train.py seeds through seed_everything — without this, a
@@ -75,7 +89,9 @@ def evaluate(args) -> dict:
         raise ValueError("Unknown dataset")
     num_subjects = test_set.num_subjects
 
-    # the SAME fixed test batch train.py evaluates each epoch (seed + 1)
+    # the SAME fixed test batch train.py evaluates each epoch (seed + 1);
+    # with tpu.redraw_test_batch the per-epoch salt is applied after the
+    # checkpoint epoch is known (below)
     tb_rng = np.random.default_rng(seed + 1)
     batch = test_set.sample_batch(tb_rng, test_pool)
     B_test = batch["X"].shape[0]
@@ -148,6 +164,15 @@ def evaluate(args) -> dict:
         )
         restored_from = {"checkpoint_dir": ckpt_dir, "epoch": int(epoch),
                          "best": best}
+
+    # mirror train.py's per-epoch test-batch redraw: epoch N>0 evaluates on
+    # default_rng(seed + 1 + 1000*N). Torch checkpoints carry no epoch ->
+    # the unsalted batch stands.
+    epoch_n = restored_from.get("epoch")
+    if bool(args.select("tpu.redraw_test_batch", False)) and epoch_n:
+        batch = test_set.sample_batch(
+            np.random.default_rng(seed + 1 + 1000 * int(epoch_n)), test_pool
+        )
 
     use_pallas = args.select("tpu.use_pallas", None)
     if use_pallas is None:

@@ -326,7 +326,11 @@ def run(args) -> list:
         tb = test_batch()
         for epoch in range(trainer.start_epoch, args.epochs):
             epoch_rng = np.random.default_rng(seed * 100003 + epoch)
-            if redraw and epoch > trainer.start_epoch:
+            # epoch>0 condition (not start_epoch): a resumed run must redraw
+            # the SAME per-epoch batches an uninterrupted run would, so eval
+            # metrics stay comparable across resume boundaries (and
+            # tools/evaluate.py can reconstruct the batch from the epoch)
+            if redraw and epoch > 0:
                 tb = test_batch(salt=1000 * epoch)
             trainer.run_epoch(epoch, train_batches(epoch_rng), tb)
             if trainer.preempted:
