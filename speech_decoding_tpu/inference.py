@@ -248,9 +248,11 @@ class SpeechDecoder:
         sample_X: np.ndarray,
         bank: Optional[np.ndarray] = None,
         epoch: Optional[int] = None,
+        best: bool = False,
     ) -> "SpeechDecoder":
         """Restore encoder params/BN stats from an orbax checkpoint written by
-        training.checkpoint.CheckpointManager."""
+        training.checkpoint.CheckpointManager. ``best=True`` serves the
+        tracked best-metric checkpoint instead of the latest."""
         from speech_decoding_tpu.training.checkpoint import CheckpointManager
         from speech_decoding_tpu.training.state import create_train_state
 
@@ -260,10 +262,12 @@ class SpeechDecoder:
             jnp.asarray(sample_X),
             jnp.zeros((sample_X.shape[0],), jnp.int32),
         )
-        mgr = CheckpointManager(checkpoint_dir)
+        mgr = CheckpointManager(
+            checkpoint_dir, track_metric="testTop10acc" if best else None
+        )
         # params/stats only: serving never needs the optimizer state, whose
         # pytree shape depends on training wiring (MultiSteps for Brennan)
-        state, _ = mgr.restore_for_eval(state, epoch)
+        state, _ = mgr.restore_for_eval(state, epoch, best=best)
         return cls(
             encoder,
             state.params["encoder"],
