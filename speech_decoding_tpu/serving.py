@@ -111,6 +111,7 @@ class MicroBatcher:
         while True:
             item = self._q.get()
             if item is _SHUTDOWN:
+                self._drain_shutdown()
                 return
             group = [item]
             rows = item[0].shape[0]
@@ -128,10 +129,23 @@ class MicroBatcher:
                     break
                 if nxt is _SHUTDOWN:
                     self._dispatch(group)
+                    self._drain_shutdown()
                     return
                 group.append(nxt)
                 rows += nxt[0].shape[0]
             self._dispatch(group)
+
+    def _drain_shutdown(self) -> None:
+        """Fail any requests still queued behind the shutdown sentinel so
+        their callers unblock instead of waiting forever."""
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is _SHUTDOWN:
+                continue
+            it[3].set_exception(RuntimeError("MicroBatcher shut down"))
 
     def _dispatch(self, group) -> None:
         # group by k: static top-k width = separate compiled programs
@@ -245,6 +259,9 @@ class DecoderServer:
                     scores, ids = server.batcher.submit(X, sidx, k)
                 except (ValueError, KeyError, OSError) as e:
                     self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # dispatch-side failure: report, keep serving
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
                 out = io.BytesIO()
                 np.savez(out, scores=scores, ids=ids)

@@ -191,3 +191,61 @@ def test_serve_cli_build_decoder(tmp_path):
         np.testing.assert_allclose(s, ds, atol=1e-5)
     finally:
         srv.shutdown()
+
+
+class _FailingDecoder:
+    def decode(self, X, sidx, k=10):
+        raise TypeError("boom from device")
+
+
+def test_dispatch_failure_returns_500():
+    """A non-ValueError failure inside the dispatch (device error, bad bank)
+    surfaces as a 500 JSON response, not a dropped connection."""
+    srv = DecoderServer(_FailingDecoder(), segment_shape=(C, T), max_batch=4).start()
+    try:
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            X=np.zeros((1, C, T), np.float32),
+            subject_idxs=np.zeros(1, np.int32),
+        )
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/decode", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 500
+        assert "TypeError" in json.loads(exc.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_shutdown_unblocks_queued_requests():
+    """Requests still queued behind the shutdown sentinel fail fast with
+    RuntimeError instead of stranding their callers forever."""
+    from concurrent.futures import Future
+
+    from speech_decoding_tpu.serving import _SHUTDOWN
+
+    ev = threading.Event()
+
+    class _Blocking:
+        def decode(self, X, sidx, k=10):
+            ev.wait(timeout=10.0)
+            b = X.shape[0]
+            return np.zeros((b, k), np.float32), np.zeros((b, k), np.int32)
+
+    mb = MicroBatcher(_Blocking(), (C, T), max_batch=1, max_wait_ms=1.0)
+    X = np.zeros((1, C, T), np.float32)
+    sidx = np.zeros(1, np.int32)
+    fut1, fut2 = Future(), Future()
+    mb._q.put((X, sidx, 2, fut1))      # dispatcher blocks inside decode
+    mb._q.put(_SHUTDOWN)               # shutdown while a request is queued...
+    mb._q.put((X, sidx, 2, fut2))      # ...behind the sentinel
+    ev.set()
+    s, _ = fut1.result(timeout=10.0)   # in-flight request completes
+    assert s.shape == (1, 2)
+    with pytest.raises(RuntimeError, match="shut down"):
+        fut2.result(timeout=10.0)
+    mb._thread.join(timeout=10.0)
+    assert not mb._thread.is_alive()

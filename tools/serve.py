@@ -13,8 +13,9 @@ speech_decoding_tpu/serving.py for the endpoints and batching semantics).
 ``serve.bank`` is an .npz holding ``bank`` (N, F, T) — e.g. saved from
 ``speech_decoding_tpu.inference.bank_from_audio`` — or a raw ``.npy``.
 Options: serve.host (127.0.0.1), serve.port (8989), serve.max_batch (64),
-serve.max_wait_ms (3.0), serve.k_bank_dtype ("float32" | "int8"),
-serve.segment_len (defaults to the bank's T).
+serve.max_wait_ms (3.0), serve.bank_dtype ("float32" | "int8"),
+serve.segment_len (defaults to the bank's T), serve.warmup_k (10; 0 skips
+the pre-listen compile warmup).
 The model restore path (orbax latest/best/epoch or torch) reuses
 tools/evaluate.py's loaders.
 """
@@ -99,12 +100,30 @@ def main() -> None:
     )
 
     seg_len = int(args.select("serve.segment_len", bank.shape[-1]))
+    max_batch = int(args.select("serve.max_batch", 64))
+    num_ch = decoder.encoder.loc.shape[0]
+
+    # Warm the compiled path before listening: the (max_batch, C, T) decode
+    # program takes tens of seconds to compile on a cold backend, and the
+    # micro-batcher dispatches every request at exactly this shape — pay the
+    # compile now instead of inside the first client's request.
+    warmup_k = int(args.select("serve.warmup_k", 10))
+    if warmup_k > 0:
+        from speech_decoding_tpu.utils.logging import cprint
+
+        cprint(f"warming decode program (B={max_batch}, k={warmup_k})...", "cyan")
+        decoder.decode(
+            np.zeros((max_batch, num_ch, seg_len), np.float32),
+            np.zeros((max_batch,), np.int32),
+            k=warmup_k,
+        )
+
     server = DecoderServer(
         decoder,
         segment_shape=(decoder.encoder.loc.shape[0], seg_len),
         host=str(args.select("serve.host", "127.0.0.1")),
         port=int(args.select("serve.port", 8989)),
-        max_batch=int(args.select("serve.max_batch", 64)),
+        max_batch=max_batch,
         max_wait_ms=float(args.select("serve.max_wait_ms", 3.0)),
     )
     server.serve_forever()
