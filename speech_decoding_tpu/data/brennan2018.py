@@ -75,6 +75,10 @@ class Brennan2018Dataset:
         # never a small rational, so preprocess_batch routes to the MNE-grid
         # exact chain on its own; the flag forces it (symmetry w/ Gwilliams)
         self.exact_mne_grid = bool(args.preprocs.get("exact_mne_grid", False))
+        # tpu.preproc_backend: device | host | auto (see configs/config.yaml);
+        # Brennan always runs the exact MNE grid, so the backend is purely a
+        # routing choice here (identical numerics up to f32 FFT rounding)
+        self.preproc_backend = str(args.select("tpu.preproc_backend", "device") or "device")
         last4layers = args.preprocs["last4layers"]
         force_recompute = bool(args.get("rebuild_dataset", False))
         self._wav2vec = wav2vec
@@ -194,17 +198,35 @@ class Brennan2018Dataset:
         new_srate = EEG_SRATE / down
         cprint(f"Batched filter+resample of {stacked.shape} -> {new_srate:.3f} Hz", "cyan")
         out_rate = EEG_SRATE / down
-        # one fused device pass over all subjects (flatten S into the batch dim)
-        outs = preprocess_batch(
-            [stacked.reshape(-1, trim_to)],
-            EEG_SRATE,
-            self.brain_filter_low,
-            self.brain_filter_high,
-            out_rate,
-            microbatch=1,
-            exact_grid=self.exact_mne_grid,
-        )[0]
-        X = outs.reshape(stacked.shape[0], NUM_EEG_CHANNELS, -1)
+        if self.preproc_backend in ("host", "auto"):
+            # per-subject recordings so the hybrid dispatcher can split the
+            # list across host and device (row-local ops: identical to the
+            # single stacked pass)
+            from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
+
+            outs = np.stack(
+                preprocess_auto(
+                    [stacked[i] for i in range(stacked.shape[0])],
+                    EEG_SRATE,
+                    self.brain_filter_low,
+                    self.brain_filter_high,
+                    out_rate,
+                    force=None if self.preproc_backend == "auto" else "host",
+                )
+            )
+            X = outs
+        else:
+            # one fused device pass over all subjects (flatten S into the batch dim)
+            outs = preprocess_batch(
+                [stacked.reshape(-1, trim_to)],
+                EEG_SRATE,
+                self.brain_filter_low,
+                self.brain_filter_high,
+                out_rate,
+                microbatch=1,
+                exact_grid=self.exact_mne_grid,
+            )[0]
+            X = outs.reshape(stacked.shape[0], NUM_EEG_CHANNELS, -1)
         return X.astype(np.float32), new_srate
 
     def _scale_and_clamp(self, X: jax.Array) -> jax.Array:

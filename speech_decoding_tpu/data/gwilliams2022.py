@@ -238,6 +238,8 @@ class Gwilliams2022DatasetBase:
         # parts instead of one in-RAM dict, and fold the brain shift into the
         # onset indices so no sliced copies are ever materialized.
         self.memory_efficient = bool(args.get("memory_efficient", True))
+        # tpu.preproc_backend: device | host | auto (see configs/config.yaml)
+        self.preproc_backend = str(args.select("tpu.preproc_backend", "device") or "device")
         self._wav2vec = wav2vec
         # preprocs.drop_overlap_sec enables the reference's DOCUMENTED-but-
         # unimplemented drop_overlapping_words (typically = seq_len_sec);
@@ -349,19 +351,33 @@ class Gwilliams2022DatasetBase:
                 f"({len(keys) - len(todo_keys)} resumed from parts)",
                 "cyan",
             )
-            outs = preprocess_batch(
-                raw_list,
-                BRAIN_ORIG_RATE,
-                self.brain_filter_low,
-                self.brain_filter_high,
-                float(self.brain_resample_rate),
-                # preprocs.exact_mne_grid=true: byte-parity with MNE's
-                # per-recording resample grid (full-pipeline golden
-                # tests/test_pipeline_golden_gwilliams.py) at ~2x FFT cost;
-                # default = fused exact-rational grid (sub-sample deviation,
-                # documented in PARITY.md)
-                exact_grid=bool(self.preprocs.get("exact_mne_grid", False)),
-            )
+            if self.preproc_backend in ("host", "auto"):
+                # hybrid/host routing (every route runs the exact MNE grid;
+                # see ops/preproc_dispatch.py)
+                from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
+
+                outs = preprocess_auto(
+                    raw_list,
+                    BRAIN_ORIG_RATE,
+                    self.brain_filter_low,
+                    self.brain_filter_high,
+                    float(self.brain_resample_rate),
+                    force=None if self.preproc_backend == "auto" else "host",
+                )
+            else:
+                outs = preprocess_batch(
+                    raw_list,
+                    BRAIN_ORIG_RATE,
+                    self.brain_filter_low,
+                    self.brain_filter_high,
+                    float(self.brain_resample_rate),
+                    # preprocs.exact_mne_grid=true: byte-parity with MNE's
+                    # per-recording resample grid (full-pipeline golden
+                    # tests/test_pipeline_golden_gwilliams.py) at ~2x FFT cost;
+                    # default = fused exact-rational grid (sub-sample deviation,
+                    # documented in PARITY.md)
+                    exact_grid=bool(self.preprocs.get("exact_mne_grid", False)),
+                )
             for k, o in zip(todo_keys, outs):
                 np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))
         if self.memory_efficient:
@@ -625,15 +641,31 @@ class Gwilliams2022SentenceSplit(Gwilliams2022DatasetBase):
         self.train = test_word_idxs_dict is None
         self.test_word_idxs_dict = test_word_idxs_dict
         self.split_ratio = args.split_ratio
+        # RNG contract (VERDICT r3 item 6): the reference shuffles sentences
+        # with the GLOBAL numpy RNG [ref: gwilliams2022.py:424-441], so split
+        # membership depends on everything seeded/consumed before it (module
+        # import order, any earlier np.random call). Default: an explicit
+        # Generator keyed only on the run's resolved seed — the split is a
+        # pure function of the seed, reconstructable by resume/evaluate no
+        # matter what else ran first. split_legacy_global_rng=true replicates
+        # the reference behavior (executed-reference golden uses it).
+        self.split_legacy_global_rng = bool(args.get("split_legacy_global_rng", False))
+        self._split_seed = int(args.select("resolved_seed", None) or args.get("seed", 0))
         super().__init__(args, **kw)
 
     def batchfy(self):
         if self.train:
+            if self.split_legacy_global_rng:
+                shuffle = np.random.shuffle
+            else:
+                # (seed, constant) entropy pair: independent of the other
+                # seed-derived streams (epoch rng, test-batch rng, ...)
+                shuffle = np.random.default_rng((self._split_seed, 20221102)).shuffle
             train_idxs: Dict[str, List[int]] = {}
             test_idxs: Dict[str, List[int]] = {}
             for task_str in sorted(self.Y.keys(), key=lambda s: int(s[-1])):
                 sentences = np.unique(self.sentence_idxs[task_str])
-                np.random.shuffle(sentences)
+                shuffle(sentences)
                 split = int(len(sentences) * self.split_ratio)
                 train_idxs[task_str] = self.sentence_to_word_idxs(
                     sentences[:split], task_str

@@ -1,0 +1,195 @@
+"""Host-CPU preprocessing twin + hybrid dispatcher (VERDICT r3 item 1):
+parity of the production numpy path with the device exact-grid path, and
+order/route correctness of ``preprocess_auto``."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speech_decoding_tpu.ops.brain_preproc import preprocess_batch, preprocess_exact
+from speech_decoding_tpu.ops.brain_preproc_host import (
+    fft_resample_np,
+    fir_filter_zero_phase_np,
+    preprocess_host,
+    reflect_limited_pad_np,
+)
+from speech_decoding_tpu.ops.fir import (
+    design_bandpass_fir,
+    fir_filter_zero_phase,
+    reflect_limited_pad,
+)
+from speech_decoding_tpu.ops.preproc_dispatch import (
+    model_device_e2e,
+    plan_split,
+    preprocess_auto,
+)
+from speech_decoding_tpu.ops.resample import fft_resample
+
+
+class TestHostTwin:
+    def test_pad_matches_device(self, rng):
+        x = rng.normal(size=(3, 50)).astype(np.float32)
+        for pad in (0, 1, 10, 49, 80):  # incl. beyond-one-reflection zero-extend
+            a = reflect_limited_pad_np(x, pad)
+            b = np.asarray(reflect_limited_pad(jnp.asarray(x), pad))
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_filter_matches_device(self, rng):
+        x = rng.normal(size=(4, 3000)).astype(np.float32)
+        taps = design_bandpass_fir(500.0, 1.0, 60.0)
+        a = fir_filter_zero_phase_np(x, taps)
+        b = np.asarray(fir_filter_zero_phase(jnp.asarray(x), jnp.asarray(taps)))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_resample_matches_device(self, rng):
+        x = rng.normal(size=(4, 3000)).astype(np.float32)
+        for up, down in [(1.0, 500 / 120), (2.4, 1.0), (1.0, 25 / 3)]:
+            a = fft_resample_np(x, up, down)
+            b = np.asarray(fft_resample(jnp.asarray(x), up, down))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_preprocess_host_matches_exact_chain(self, rng):
+        """The production host path == the device exact-grid chain (the same
+        per-recording MNE grids) to f32 FFT rounding. This is the parity
+        that makes hybrid routing numerically inert."""
+        r = rng.normal(size=(4, 20000)).astype(np.float32)
+        host = preprocess_host([r], 500.0, 1.0, 60.0, 120.0)[0]
+        dev = np.asarray(
+            preprocess_exact(jnp.asarray(r), 500.0, 1.0, 60.0, down=500 / 120)
+        )
+        assert host.shape == dev.shape
+        scale = np.abs(dev).max()
+        assert np.abs(host - dev).max() / scale < 1e-5
+
+    def test_preprocess_host_threaded_matches_serial(self, rng):
+        recs = [rng.normal(size=(2, n)).astype(np.float32) for n in (4000, 5000, 4000)]
+        a = preprocess_host(recs, 500.0, 1.0, 60.0, 120.0, workers=1)
+        b = preprocess_host(recs, 500.0, 1.0, 60.0, 120.0, workers=3)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestDispatcher:
+    def test_model_device_e2e(self):
+        # compute-bound on a fast link, link-bound on a slow one
+        fast = model_device_e2e(12900.0, 10_000.0, 208, 1000.0, 120.0, "int16")
+        slow = model_device_e2e(12900.0, 45.0, 208, 1000.0, 120.0, "int16")
+        assert fast == 12900.0
+        bytes_per_megsec = 208 * 1000 * 2 / 1e6 + 208 * 120 * 4 / 1e6
+        assert slow == pytest.approx(45.0 / bytes_per_megsec)
+        assert model_device_e2e(0.0, 45.0, 208, 1000.0, 120.0) == 0.0
+
+    def test_plan_split_proportional(self):
+        durs = [10.0] * 20
+        routes = plan_split(durs, host_rate=25.0, device_e2e=75.0)
+        assert routes.count("device") == 15 and routes.count("host") == 5
+        assert plan_split(durs, 10.0, 0.0) == ["host"] * 20
+        assert plan_split(durs, 0.0, 10.0) == ["device"] * 20
+
+    def test_auto_mixed_split_preserves_order_and_values(self, rng):
+        """Inject rates that force a genuine mixed split; every output must
+        equal its single-route reference and sit at its input index."""
+        recs = [rng.normal(size=(3, 4000 + 200 * i)).astype(np.float32) for i in range(6)]
+        rates = {"host_rate": 50.0, "device_rate": 1000.0, "link_mbps": 10_000.0}
+        out = preprocess_auto(
+            recs, 500.0, 1.0, 60.0, 120.0, rates=rates, verbose=False,
+            transfer_dtype="float32",
+        )
+        ref = preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)
+        assert len(out) == len(recs)
+        for o, r in zip(out, ref):
+            assert o.shape == r.shape
+            scale = np.abs(r).max()
+            assert np.abs(o - r).max() / scale < 1e-5
+
+    def test_auto_forced_routes(self, rng):
+        recs = [rng.normal(size=(3, 4000)).astype(np.float32)]
+        h = preprocess_auto(recs, 500.0, 1.0, 60.0, 120.0, force="host", verbose=False)
+        d = preprocess_auto(
+            recs, 500.0, 1.0, 60.0, 120.0, force="device", verbose=False,
+            transfer_dtype="float32",
+        )
+        ref = preprocess_batch(recs, 500.0, 1.0, 60.0, 120.0, exact_grid=True)
+        np.testing.assert_array_equal(h[0], preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)[0])
+        np.testing.assert_array_equal(d[0], ref[0])
+        scale = np.abs(ref[0]).max()
+        assert np.abs(h[0] - d[0]).max() / scale < 1e-5
+
+    def test_auto_int16_transfer_within_quantization_bound(self, rng):
+        """The dispatcher's default int16 raw transfer on the device share is
+        the documented ~90 dB SNR quantized path; routes then agree to the
+        quantization bound (not f32 rounding)."""
+        recs = [rng.normal(size=(3, 4000)).astype(np.float32)]
+        d = preprocess_auto(recs, 500.0, 1.0, 60.0, 120.0, force="device", verbose=False)
+        ref = preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)
+        scale = np.abs(ref[0]).max()
+        assert np.abs(d[0] - ref[0]).max() / scale < 5e-4
+
+    def test_auto_empty(self):
+        assert preprocess_auto([], 500.0, 1.0, 60.0, 120.0, verbose=False) == []
+
+    def test_auto_host_only_when_no_device_rate(self, rng):
+        recs = [rng.normal(size=(2, 3000)).astype(np.float32)]
+        rates = {"host_rate": 10.0, "device_rate": 0.0, "link_mbps": 0.0}
+        out = preprocess_auto(recs, 500.0, 1.0, 60.0, 120.0, rates=rates, verbose=False)
+        np.testing.assert_array_equal(
+            out[0], preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)[0]
+        )
+
+
+class TestDatasetBackendWiring:
+    """tpu.preproc_backend routes the dataset cache builds; host and device
+    builds must produce equivalent recordings (exact-grid numerics)."""
+
+    def test_gwilliams_host_backend_matches_exact_device(self, tmp_path):
+        import fixtures
+        from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+
+        root = str(tmp_path)
+        fixtures.make_gwilliams_tree(root)
+        w2v = fixtures.tiny_wav2vec()
+
+        cfg_h = fixtures.make_config(root, "Gwilliams2022")
+        cfg_h.rebuild_dataset = True
+        cfg_h.set_path("tpu.preproc_backend", "host")
+        ds_h = Gwilliams2022ShallowSplit(
+            cfg_h, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+
+        cfg_d = fixtures.make_config(root, "Gwilliams2022")
+        cfg_d.rebuild_dataset = True
+        cfg_d.preprocs["exact_mne_grid"] = True  # device exact grid == host grid
+        ds_d = Gwilliams2022ShallowSplit(
+            cfg_d, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        assert set(ds_h.X) == set(ds_d.X)
+        for k in ds_h.X:  # after batchfy: {session_key: {task: (C, T)}}
+            assert set(ds_h.X[k]) == set(ds_d.X[k])
+            for task in ds_h.X[k]:
+                a = np.asarray(ds_h.X[k][task])
+                b = np.asarray(ds_d.X[k][task])
+                scale = np.abs(b).max()
+                assert np.abs(a - b).max() / scale < 1e-5, (k, task)
+
+    def test_brennan_host_backend_matches_device(self, tmp_path):
+        import fixtures
+        from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset
+
+        root = str(tmp_path)
+        fixtures.make_brennan_tree(root, eeg_secs=20.0, audio_secs=20.0)
+        w2v = fixtures.tiny_wav2vec()
+
+        cfg_h = fixtures.make_config(root, "Brennan2018")
+        cfg_h.rebuild_dataset = True
+        cfg_h.set_path("tpu.preproc_backend", "host")
+        ds_h = Brennan2018Dataset(cfg_h, wav2vec=w2v)
+
+        cfg_d = fixtures.make_config(root, "Brennan2018")
+        cfg_d.rebuild_dataset = True  # Brennan's ratio always uses the exact grid
+        ds_d = Brennan2018Dataset(cfg_d, wav2vec=w2v)
+        a, b = np.asarray(ds_h.X), np.asarray(ds_d.X)
+        assert a.shape == b.shape
+        # X is robust-scaled + clamped after preproc; compare post-pipeline
+        assert np.abs(a - b).max() < 1e-3
