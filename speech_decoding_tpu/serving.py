@@ -25,6 +25,13 @@ Endpoints (payloads are ``.npz`` bytes — numpy-native, no extra deps):
                   dispatches, rows/dispatch)
 
 CLI: ``python tools/serve.py checkpoint.dir=... serve.bank=bank.npz``.
+
+Non-goals: this server is a deployment building block behind a real frontend
+— it deliberately ships no TLS, no authentication, no rate limiting and no
+request tracing. It does guard itself: request bodies above
+``max_payload_bytes`` are rejected with 413 before buffering, socket reads
+time out (``request_timeout_s``), and during shutdown in-flight submissions
+fail fast with 503 instead of blocking forever.
 """
 
 from __future__ import annotations
@@ -42,6 +49,11 @@ import numpy as np
 from speech_decoding_tpu.utils.logging import cprint
 
 _SHUTDOWN = object()
+
+
+class MicroBatcherClosed(RuntimeError):
+    """Raised to callers whose requests race or trail a shutdown; the HTTP
+    layer maps it to 503 (retryable: the server is going away)."""
 
 
 class MicroBatcher:
@@ -67,6 +79,10 @@ class MicroBatcher:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: queue.Queue = queue.Queue()
+        # set (under _lock) before the sentinel is enqueued so a submit()
+        # racing close() fails fast instead of enqueueing behind the drain
+        # and blocking its caller forever
+        self._closed = False
         # counters (read by /stats and tests)
         self.requests = 0
         self.rows = 0
@@ -95,13 +111,17 @@ class MicroBatcher:
             return np.zeros((0, int(k)), np.float32), np.zeros((0, int(k)), np.int32)
         fut: Future = Future()
         with self._lock:
+            if self._closed:
+                raise MicroBatcherClosed("MicroBatcher shut down")
             self.requests += 1
             self.rows += X.shape[0]
-        self._q.put((X, subject_idxs, int(k), fut))
+            self._q.put((X, subject_idxs, int(k), fut))
         return fut.result()
 
     def close(self) -> None:
-        self._q.put(_SHUTDOWN)
+        with self._lock:
+            self._closed = True
+            self._q.put(_SHUTDOWN)
         self._thread.join(timeout=10.0)
 
     # ---- dispatcher ------------------------------------------------------
@@ -145,7 +165,7 @@ class MicroBatcher:
                 return
             if it is _SHUTDOWN:
                 continue
-            it[3].set_exception(RuntimeError("MicroBatcher shut down"))
+            it[3].set_exception(MicroBatcherClosed("MicroBatcher shut down"))
 
     def _dispatch(self, group) -> None:
         # group by k: static top-k width = separate compiled programs
@@ -197,6 +217,8 @@ class DecoderServer:
         port: int = 0,
         max_batch: int = 64,
         max_wait_ms: float = 3.0,
+        max_payload_bytes: int = 256 * 1024 * 1024,
+        request_timeout_s: float = 30.0,
     ):
         self.batcher = MicroBatcher(
             decoder, segment_shape, max_batch=max_batch, max_wait_ms=max_wait_ms
@@ -204,7 +226,14 @@ class DecoderServer:
         self.decoder = decoder
         server = self
 
+        max_payload = int(max_payload_bytes)
+
         class Handler(BaseHTTPRequestHandler):
+            # socket read/write deadline (socketserver.StreamRequestHandler
+            # applies it in setup()); a stalled client can't pin a handler
+            # thread forever
+            timeout = float(request_timeout_s)
+
             def log_message(self, *a):  # quiet request log
                 pass
 
@@ -250,6 +279,20 @@ class DecoderServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > max_payload:
+                        # reject BEFORE buffering: close the connection so
+                        # the oversized body is never read into memory
+                        self.close_connection = True
+                        self._json(
+                            413,
+                            {
+                                "error": (
+                                    f"payload {n} bytes exceeds "
+                                    f"max_payload_bytes={max_payload}"
+                                )
+                            },
+                        )
+                        return
                     payload = np.load(
                         io.BytesIO(self.rfile.read(n)), allow_pickle=False
                     )
@@ -259,6 +302,10 @@ class DecoderServer:
                     scores, ids = server.batcher.submit(X, sidx, k)
                 except (ValueError, KeyError, OSError) as e:
                     self._json(400, {"error": str(e)})
+                    return
+                except MicroBatcherClosed as e:
+                    # server is draining: retryable, not an internal error
+                    self._json(503, {"error": str(e), "retryable": True})
                     return
                 except Exception as e:  # dispatch-side failure: report, keep serving
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
