@@ -53,10 +53,32 @@ class FrozenWav2Vec2:
 def load_wav2vec_model(
     name_or_path: str = "facebook/wav2vec2-large-xlsr-53",
 ) -> FrozenWav2Vec2:
-    """Load HF torch weights and port them into the flax model
-    [ref: wav2vec_util.py:8-11]. Works from the local HF cache or a local
-    directory; this environment has no network egress, so a missing
-    checkpoint raises with instructions rather than downloading."""
+    """Load pretrained weights into the flax model [ref: wav2vec_util.py:8-11].
+
+    Torch-free path: a ``.safetensors`` file (or a directory containing
+    ``model.safetensors``) loads directly via
+    ``models.wav2vec2_safetensors`` — no torch/transformers at deploy time.
+    Otherwise falls back to the HF ``transformers`` port from the local cache
+    or a local directory; this environment has no network egress, so a
+    missing checkpoint raises with instructions rather than downloading."""
+    import os
+
+    st_path = None
+    if name_or_path.endswith(".safetensors") and os.path.exists(name_or_path):
+        st_path = name_or_path
+    elif os.path.isdir(name_or_path) and os.path.exists(
+        os.path.join(name_or_path, "model.safetensors")
+    ):
+        st_path = os.path.join(name_or_path, "model.safetensors")
+    if st_path is not None:
+        from speech_decoding_tpu.models.wav2vec2_safetensors import (
+            load_safetensors_params,
+        )
+
+        cprint(f"Loading wav2vec2 weights from {st_path} (torch-free)", "cyan")
+        variables, cfg = load_safetensors_params(st_path)
+        variables = jax.tree.map(jnp.asarray, variables)
+        return FrozenWav2Vec2(cfg, variables)
     try:
         import transformers
 

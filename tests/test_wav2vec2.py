@@ -184,6 +184,7 @@ def test_load_wav2vec_model_from_local_checkpoint(tmp_path):
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # 315M-param full-width parity (full tier)
 def test_full_scale_xlsr53_params_from_torch_parity():
     """The FULL 317M-parameter xlsr-53 architecture (hidden 1024, 24 layers,
     512-ch extractor — transformers' real Wav2Vec2Model at the exact
@@ -241,3 +242,155 @@ def test_full_scale_xlsr53_params_from_torch_parity():
     np.testing.assert_allclose(
         ours_l4 / np.abs(ref_l4).max(), ref_l4 / np.abs(ref_l4).max(), atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Torch-free safetensors ingestion (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_hf(seed=3):
+    cfg = transformers.Wav2Vec2Config(
+        conv_dim=[16] * 7,
+        conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+        conv_bias=True,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=64,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(seed)
+    return transformers.Wav2Vec2Model(cfg).eval(), cfg
+
+
+def _flax_cfg(hc):
+    from speech_decoding_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    return Wav2Vec2Config(
+        conv_dim=tuple(hc.conv_dim),
+        conv_stride=tuple(hc.conv_stride),
+        conv_kernel=tuple(hc.conv_kernel),
+        conv_bias=hc.conv_bias,
+        feat_extract_norm=hc.feat_extract_norm,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        intermediate_size=hc.intermediate_size,
+        num_conv_pos_embeddings=hc.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hc.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=hc.do_stable_layer_norm,
+    )
+
+
+def test_safetensors_tree_matches_params_from_torch(tmp_path):
+    """A random-weight safetensors file written from the torch state_dict
+    loads into the identical flax param tree as params_from_torch (the
+    VERDICT item's acceptance test)."""
+    import jax
+    from safetensors.torch import save_file
+
+    from speech_decoding_tpu.models.wav2vec2 import params_from_torch
+    from speech_decoding_tpu.models.wav2vec2_safetensors import (
+        load_safetensors_params,
+        read_safetensors,
+    )
+
+    hf, hc = _tiny_hf()
+    cfg = _flax_cfg(hc)
+    sd = {k: v.contiguous() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "model.safetensors")
+    save_file(sd, path)
+
+    ref = params_from_torch(hf.state_dict(), cfg)
+    got = params_from_torch(read_safetensors(path), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(got)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    # config auto-inference from shapes alone (no config.json sibling here
+    # beyond the one we didn't write): explicit heads, standard strides
+    got2, icfg = load_safetensors_params(path, cfg)
+    assert icfg == cfg
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got2)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_safetensors_prefixed_checkpoint_and_extra_heads(tmp_path):
+    """ForCTC-style exports carry a wav2vec2. prefix and extra heads; the
+    reader strips the prefix and ignores the extras."""
+    from safetensors.torch import save_file
+
+    from speech_decoding_tpu.models.wav2vec2_safetensors import read_safetensors
+
+    hf, hc = _tiny_hf()
+    sd = {f"wav2vec2.{k}": v.contiguous() for k, v in hf.state_dict().items()}
+    sd["lm_head.weight"] = torch.zeros(7, hc.hidden_size)
+    sd["wav2vec2.masked_spec_embed"] = torch.zeros(hc.hidden_size)
+    path = str(tmp_path / "ctc.safetensors")
+    save_file(sd, path)
+    tensors = read_safetensors(path)
+    assert "feature_projection.projection.weight" in tensors
+    assert "lm_head.weight" not in tensors
+    assert "masked_spec_embed" in tensors  # harmless leftover, ignored by the port
+
+
+def test_safetensors_infer_config(tmp_path):
+    """Shape inference recovers the full config (heads given; strides are the
+    family standard for this geometry)."""
+    from safetensors.torch import save_file
+
+    from speech_decoding_tpu.models.wav2vec2_safetensors import (
+        infer_config,
+        read_safetensors,
+    )
+
+    hf, hc = _tiny_hf()
+    path = str(tmp_path / "model.safetensors")
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()}, path)
+    icfg = infer_config(read_safetensors(path), num_attention_heads=4)
+    assert icfg == _flax_cfg(hc)
+    with pytest.raises(ValueError, match="num_attention_heads"):
+        infer_config(read_safetensors(path))  # hidden=32 not a published width
+
+
+def test_load_wav2vec_model_torch_free_from_safetensors(tmp_path):
+    """End to end WITHOUT torch at load time: save_pretrained writes
+    model.safetensors + config.json; load_wav2vec_model takes the torch-free
+    branch and the embeddings match the torch reference."""
+    from speech_decoding_tpu.models.wav2vec_util import (
+        embed_waveform,
+        load_wav2vec_model,
+    )
+
+    hf, hc = _tiny_hf(seed=11)
+    ckpt_dir = str(tmp_path / "tiny-st")
+    hf.save_pretrained(ckpt_dir)  # transformers>=4.30 defaults to safetensors
+    import os
+
+    assert os.path.exists(os.path.join(ckpt_dir, "model.safetensors"))
+
+    frozen = load_wav2vec_model(ckpt_dir)
+    wav = np.random.default_rng(9).normal(size=8000).astype(np.float32)
+    ours = embed_waveform(frozen, wav, last4layers=True)
+    chunks = np.array_split(np.arange(8000), 10)
+    refs = []
+    with torch.no_grad():
+        for idx in chunks:
+            out = hf(
+                torch.from_numpy(wav[idx][None]), output_hidden_states=True
+            ).hidden_states[-4:]
+            refs.append(torch.stack(out).mean(0)[0])
+    ref = torch.vstack(refs).T.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-4)
