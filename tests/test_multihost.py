@@ -70,6 +70,7 @@ def _run_workers(nproc: int = 2, timeout: int = 600, ckpt_dir: str = None):
     return results
 
 
+@pytest.mark.slow  # spawns 2 jax.distributed processes (full tier)
 def test_two_process_training_matches_single_process():
     results = _run_workers(2)
     assert set(results) == {0, 1}
@@ -95,6 +96,7 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(r0["testTop10acc"], out["testTop10acc"], atol=1e-9)
 
 
+@pytest.mark.slow  # spawns 2 jax.distributed processes (full tier)
 def test_two_process_symmetric_checkpointing(tmp_path):
     """Every process participates in the orbax save (cross-process barrier);
     the written checkpoint restores in a plain single-process context."""
@@ -126,6 +128,7 @@ def test_two_process_symmetric_checkpointing(tmp_path):
     assert int(restored.step) == 2
 
 
+@pytest.mark.slow  # spawns 2 jax.distributed processes (full tier)
 def test_cli_two_process_end_to_end(tmp_path):
     """The documented multi-host launch recipe end-to-end: two processes run
     the REAL CLI (train.run) with tpu.multihost=True, JAX_* env vars,

@@ -39,10 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import ref_fakes
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(ref_fakes.REFERENCE, "speech_decoding")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(ref_fakes.REFERENCE, "speech_decoding")),
+        reason="reference checkout not available",
+    ),
+    pytest.mark.slow,  # executes the torch reference pipeline; full tier only
+]
 
 torch = pytest.importorskip("torch")
 pytest.importorskip("transformers")

@@ -37,10 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import ref_fakes
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(ref_fakes.REFERENCE, "speech_decoding")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(ref_fakes.REFERENCE, "speech_decoding")),
+        reason="reference checkout not available",
+    ),
+    pytest.mark.slow,  # executes the torch reference pipeline; full tier only
+]
 
 torch = pytest.importorskip("torch")
 pytest.importorskip("transformers")
@@ -297,12 +300,15 @@ def test_sentence_split_matches(built, ref_gwilliams):
     insertion order task0..taskN, ours in sorted order — identical here), so
     seeding np.random identically must produce identical splits, including
     the train-instance -> test-instance word-idxs handoff
-    [ref: gwilliams2022.py:390-491, train.py:54-59]."""
+    [ref: gwilliams2022.py:390-491, train.py:54-59]. Uses
+    split_legacy_global_rng=true — the default split now draws from an
+    explicit seed-keyed Generator (tests/test_data.py pins that contract)."""
     from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022SentenceSplit
 
     ours, ref, cfg = built
     cfg2 = cfg.copy()
     cfg2.rebuild_dataset = False
+    cfg2.split_legacy_global_rng = True
     kw = dict(num_subjects=N_SUBJECTS, num_sessions=N_SESSIONS, num_tasks=N_TASKS)
 
     np.random.seed(123)

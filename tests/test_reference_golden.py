@@ -19,10 +19,13 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "speech_decoding")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "speech_decoding")),
+        reason="reference checkout not available",
+    ),
+    pytest.mark.slow,  # executes the torch reference; full tier only
+]
 
 torch = pytest.importorskip("torch")
 
