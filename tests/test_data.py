@@ -381,3 +381,54 @@ class TestDropOverlappingWords:
         # filtering can only remove onsets, never add
         assert len(filtered[1]) <= len(plain[1])
         assert set(np.asarray(filtered[2])).issubset(set(np.asarray(plain[2])))
+
+
+class TestSentenceSplitRNGContract:
+    """VERDICT r3 item 6: the sentence split must be a pure function of the
+    run's resolved seed — NOT of whatever consumed the global numpy RNG
+    first (import order, earlier draws). Legacy flag restores the
+    reference's global-RNG coupling (golden-tested elsewhere)."""
+
+    def _cfg(self, root, **over):
+        import fixtures
+
+        cfg = fixtures.make_config(root, "Gwilliams2022")
+        for k, v in over.items():
+            cfg.set_path(k, v)
+        return cfg
+
+    def _split(self, root, w2v, **over):
+        from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022SentenceSplit
+
+        cfg = self._cfg(root, **over)
+        ds = Gwilliams2022SentenceSplit(
+            cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+        )
+        return {t: sorted(v) for t, v in ds.test_word_idxs_dict.items()}
+
+    def test_split_independent_of_global_rng(self, gwilliams_root, w2v):
+        np.random.seed(0)
+        a = self._split(gwilliams_root, w2v, resolved_seed=7)
+        np.random.seed(999)
+        np.random.random(1234)  # a hostile earlier global-RNG consumer
+        b = self._split(gwilliams_root, w2v, resolved_seed=7)
+        assert a == b
+        # and the split DOES respond to the resolved seed
+        c = self._split(gwilliams_root, w2v, resolved_seed=8)
+        assert c != a
+
+    def test_legacy_flag_restores_global_rng_coupling(self, gwilliams_root, w2v):
+        np.random.seed(0)
+        a = self._split(
+            gwilliams_root, w2v, resolved_seed=7, split_legacy_global_rng=True
+        )
+        np.random.seed(0)
+        b = self._split(
+            gwilliams_root, w2v, resolved_seed=8, split_legacy_global_rng=True
+        )
+        assert a == b  # legacy: driven by the global stream, not the seed
+        np.random.seed(4)
+        c = self._split(
+            gwilliams_root, w2v, resolved_seed=7, split_legacy_global_rng=True
+        )
+        assert c != a
