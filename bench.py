@@ -354,22 +354,30 @@ def bench_w2v_embed(batch: int = 16) -> float | None:
         return None
 
 
-def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
+def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict | None:
     """Serving throughput: eval-mode flagship encode (fused Pallas ConvBlock
     stack with folded BN on TPU — the SpeechDecoder path, inference.py) plus
     top-10 retrieval against a device-resident candidate bank, in brain
     segments decoded per second. The reference has no inference path at all
     [ref: train.py:259 save-only]; its closest analogue is the eval forward
-    (0.96 GB full-test-batch on GPU [ref: train.py:225]). Returns None
-    off-TPU or on failure."""
+    (0.96 GB full-test-batch on GPU [ref: train.py:225]).
+
+    Sweeps bank sizes to expose where the int8 bank (4x less HBM, MXU int8
+    rate, PACKED chunk layout precomputed at set_bank) overtakes f32 — at
+    flagship row size (F*T = 369k) a 4096-segment f32 bank is ~5.7 GB, so
+    large banks are HBM-bandwidth-bound and int8 must win there. Sizes that
+    exceed this harness's HBM grant are reported as OOM and skipped.
+    Returns None off-TPU or on failure."""
     import jax
     import jax.numpy as jnp
 
     from speech_decoding_tpu.data.layout import ch_locations_2d
     from speech_decoding_tpu.inference import (
         SpeechDecoder,
+        pack_int8_bank,
+        quantize_rows_int8,
         retrieve_topk,
-        retrieve_topk_int8,
+        retrieve_topk_int8_packed,
     )
     from speech_decoding_tpu.models import BrainEncoder
 
@@ -387,11 +395,6 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
         sidx = jnp.zeros((B,), jnp.int32)
         variables = jax.jit(enc.init)(jax.random.PRNGKey(1), X, sidx)
         dec = SpeechDecoder(enc, variables["params"], variables["batch_stats"])
-        # bank generated ON DEVICE (no bulk host->device transfer on this
-        # link) and passed as a jit ARGUMENT (large closure constants stall
-        # the remote-compile tunnel)
-        bank = jax.random.normal(jax.random.PRNGKey(2), (bank_n, F * T), jnp.float32)
-        bank_norm = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
 
         @jax.jit
         def chained(X, sidx, bank_norm, carry):
@@ -399,53 +402,77 @@ def bench_serve(batch: int = 256, bank_n: int = 512) -> dict | None:
             scores, _ids = retrieve_topk(Z, bank_norm, 10)
             return scores[0, 0].astype(jnp.float32)
 
-        carry = jnp.float32(0)
-        for _ in range(5):  # compile + warm
-            carry = chained(X, sidx, bank_norm, carry)
-        float(carry)
-        best = float("inf")
-        for _ in range(2):
-            reps = 20
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                carry = chained(X, sidx, bank_norm, carry)
-            float(carry)  # forces the whole chain
-            best = min(best, (time.perf_counter() - t0) / reps)
-        rate = batch / best
-        _log(f"serve: {best * 1e3:.2f} ms / {batch} segs (bank {bank_n}) -> {rate:.0f} seg/s")
-
-        # int8-quantized bank variant: 4x less bank HBM traffic + the MXU's
-        # int8 rate for the (B, N) similarity — quantized by the SAME
-        # production helper set_bank uses (inference.quantize_rows_int8)
-        from speech_decoding_tpu.inference import quantize_rows_int8
-
-        bank_q, scale = quantize_rows_int8(bank_norm)
-
         @jax.jit
-        def chained_q(X, sidx, bank_q, scale, carry):
+        def chained_q(X, sidx, bank_q3, scale, carry):
             Z = dec.encode_fn(X + carry.astype(X.dtype) * 1e-30, sidx)
-            scores, _ids = retrieve_topk_int8(Z, bank_q, scale, 10)
+            scores, _ids = retrieve_topk_int8_packed(Z, bank_q3, scale, 10)
             return scores[0, 0].astype(jnp.float32)
 
-        carry = jnp.float32(0)
-        for _ in range(5):
-            carry = chained_q(X, sidx, bank_q, scale, carry)
-        float(carry)
-        best_q = float("inf")
-        for _ in range(2):
-            reps = 20
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                carry = chained_q(X, sidx, bank_q, scale, carry)
+        def timed(fn, *args):
+            carry = jnp.float32(0)
+            for _ in range(4):  # compile + warm
+                carry = fn(*args, carry)
             float(carry)
-            best_q = min(best_q, (time.perf_counter() - t0) / reps)
-        rate_q = batch / best_q
-        _log(f"serve int8 bank: {best_q * 1e3:.2f} ms -> {rate_q:.0f} seg/s")
+            best = float("inf")
+            reps = 12
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    carry = fn(*args, carry)
+                float(carry)  # forces the whole chain (block_until_ready no-op)
+                best = min(best, (time.perf_counter() - t0) / reps)
+            return best
+
+        # donated single-jit builders keep the HBM peak at ~one f32 bank
+        # (a 4096-row flagship bank is 5.7 GB; naive norm/quantize copies
+        # would double/triple that and trip this harness's HBM grant)
+        norm_fn = jax.jit(
+            lambda b: b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-8),
+            donate_argnums=0,
+        )
+        quant_fn = jax.jit(
+            lambda bn: (pack_int8_bank(quantize_rows_int8(bn)[0]),
+                        quantize_rows_int8(bn)[1]),
+            donate_argnums=0,
+        )
+
+        sweep = {}
+        crossover = None
+        for bank_n in bank_sweep:
+            try:
+                # bank generated ON DEVICE (no bulk host->device transfer on
+                # this link) and passed as a jit ARGUMENT (large closure
+                # constants stall the remote-compile tunnel)
+                bank_norm = norm_fn(
+                    jax.random.normal(jax.random.PRNGKey(2), (bank_n, F * T), jnp.float32)
+                )
+                best = timed(chained, X, sidx, bank_norm)
+                bank_q3, scale = quant_fn(bank_norm)  # donates/frees bank_norm
+                best_q = timed(chained_q, X, sidx, bank_q3, scale)
+                del bank_q3, scale
+                rate, rate_q = batch / best, batch / best_q
+                sweep[bank_n] = {"f32": round(rate, 1), "int8": round(rate_q, 1)}
+                if crossover is None and rate_q >= rate:
+                    crossover = bank_n
+                _log(
+                    f"serve bank {bank_n}: f32 {best * 1e3:.2f} ms ({rate:.0f} seg/s), "
+                    f"int8 {best_q * 1e3:.2f} ms ({rate_q:.0f} seg/s)"
+                )
+            except Exception as e:
+                _log(f"serve bank {bank_n}: skipped ({type(e).__name__}: {str(e)[:120]})")
+                sweep[bank_n] = {"error": type(e).__name__}
+                break
+        first = next((v for v in sweep.values() if "f32" in v), None)
+        if first is None:
+            return None
+        base_n = next(k for k, v in sweep.items() if "f32" in v)
         return {
-            "serve_segments_per_sec": round(rate, 1),
-            "serve_segments_per_sec_int8_bank": round(rate_q, 1),
+            "serve_segments_per_sec": sweep[base_n]["f32"],
+            "serve_segments_per_sec_int8_bank": sweep[base_n]["int8"],
             "serve_batch": batch,
-            "serve_bank_segments": bank_n,
+            "serve_bank_segments": base_n,
+            "serve_bank_sweep": {str(k): v for k, v in sweep.items()},
+            "serve_int8_crossover_bank": crossover,
         }
     except Exception as e:
         _log(f"serve bench skipped: {e}")
@@ -512,6 +539,121 @@ def bench_train(n_steps: int = 100, batch_size: int = 64) -> tuple:
     return single_rate, scan_rate, {"train_step_gflops": round(step_flops / 1e9, 1) if step_flops else None, "train_mfu": round(mfu, 4) if mfu else None}
 
 
+def bench_batch_curve(
+    batch_sizes: tuple = (16, 32, 64, 96, 128), n_steps: int = 12
+) -> dict | None:
+    """steps/s-vs-B curve + compiler memory analysis (VERDICT r3 item 7).
+
+    The B=128 cliff (66 -> 2.6 steps/s, round 2) was *attributed* to this
+    harness's restricted HBM grant without direct proof. The XLA
+    memory-analysis of the compiled step settles it without new hardware:
+    if the compiler-predicted footprint (arguments + outputs + temps) at
+    B=128 still fits the chip's HBM and scales ~linearly from B=64 — i.e.
+    XLA plans no extra spill buffers — then the runtime collapse cannot be
+    activation footprint; it is the harness grant. Runs AFTER bench_train so
+    the process is past the first-100-dispatch warmup pathology (TODO.md).
+    Returns {"train_batch_curve": {B: {...}}, "batch_curve_note": str}."""
+    import gc
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    curve = {}
+    try:
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        hbm = stats.get("bytes_limit") if stats else None
+        if hbm is None:
+            # the tunneled backend reports no memory_stats; fall back to the
+            # chip's published HBM so the note can still compare footprints
+            kind = getattr(dev, "device_kind", "").lower()
+            for pat, gb in (
+                ("v5 lite", 16), ("v5e", 16), ("v5p", 95),
+                ("v6", 32), ("v4", 32), ("v3", 16), ("v2", 8),
+            ):
+                if pat in kind:
+                    hbm = gb * 2**30
+                    break
+        for B in batch_sizes:
+            try:
+                step, state, batch, _enc, _collate = build_flagship_step(batch_size=B)
+                key = jax.random.PRNGKey(7)
+                entry = {}
+                try:
+                    ma = step.lower(state, batch, key).compile().memory_analysis()
+                    total = sum(
+                        getattr(ma, a, 0) or 0
+                        for a in (
+                            "argument_size_in_bytes",
+                            "output_size_in_bytes",
+                            "temp_size_in_bytes",
+                        )
+                    )
+                    # donated args alias outputs, so this upper-bounds the
+                    # true peak — if even the bound fits, spills are ruled out
+                    entry["xla_temp_gb"] = round(
+                        (getattr(ma, "temp_size_in_bytes", 0) or 0) / 2**30, 3
+                    )
+                    entry["xla_total_gb"] = round(total / 2**30, 3)
+                except Exception as e:
+                    _log(f"memory_analysis unavailable at B={B}: {e}")
+                for _ in range(3):
+                    state, metrics = step(state, batch, key)
+                float(metrics["loss"])
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    state, metrics = step(state, batch, key)
+                float(metrics["loss"])  # forces the donated-state chain
+                dt = time.perf_counter() - t0
+                entry["steps_per_sec"] = round(n_steps / dt, 2)
+                entry["segments_per_sec"] = round(n_steps * B / dt, 1)
+                curve[str(B)] = entry
+                _log(
+                    f"B={B}: {entry['steps_per_sec']} steps/s, "
+                    f"XLA total {entry.get('xla_total_gb', '?')} GB"
+                )
+                del step, state, batch, metrics
+                gc.collect()
+            except Exception as e:
+                curve[str(B)] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+                _log(f"B={B}: failed ({e})")
+        # one-line root cause for the cliff, derived from the data
+        note = "no cliff observed"
+        ok = {int(b): v for b, v in curve.items() if "steps_per_sec" in v}
+        if 64 in ok and any(b > 64 for b in ok):
+            b_hi = max(b for b in ok if b > 64)
+            r64, rhi = ok[64]["steps_per_sec"], ok[b_hi]["steps_per_sec"]
+            if rhi < r64 * (64 / b_hi) * 0.5:  # worse than half linear scaling
+                tot = ok[b_hi].get("xla_total_gb")
+                t64, thi = ok[64].get("xla_temp_gb"), ok[b_hi].get("xla_temp_gb")
+                # temps growing no faster than ~linearly in B means XLA
+                # planned no extra spill buffers at the cliff batch size
+                linear = (
+                    t64 and thi and thi <= t64 * (b_hi / 64) * 1.2
+                )
+                if tot is not None and hbm and tot * 2**30 < 0.9 * hbm and linear:
+                    note = (
+                        f"B={b_hi} cliff ({r64}->{rhi} steps/s) with compiler "
+                        f"footprint {tot} GB << {hbm / 2**30:.0f} GB chip HBM "
+                        f"and sublinear temp scaling ({t64}->{thi} GB): XLA "
+                        "plans no spills — the collapse is this harness's "
+                        "restricted HBM grant, not activation footprint"
+                    )
+                elif tot is not None:
+                    note = (
+                        f"B={b_hi} cliff with compiler footprint {tot} GB "
+                        f"(temps {t64}->{thi} GB): footprint-driven "
+                        "(spill/OOM territory)"
+                    )
+                else:
+                    note = f"B={b_hi} cliff; memory_analysis unavailable"
+        return {"train_batch_curve": curve, "batch_curve_note": note}
+    except Exception as e:
+        _log(f"batch curve skipped: {e}")
+        return None
+
+
 def _error_json(error: str) -> str:
     """The ONE device-outage artifact shape (both failure branches of main)."""
     return json.dumps(
@@ -562,6 +704,7 @@ def main():
     compute_rate = bench_preproc()
     e2e = bench_preproc_e2e(fused_rate=compute_rate)
     train_single, train_scan, mfu_info = bench_train()
+    batch_curve = bench_batch_curve()
     w2v_rate = bench_w2v_embed()
     serve = bench_serve()
     # headline = the faster dispatch mode (scan vs single varies by how
@@ -584,6 +727,7 @@ def main():
             **{k: v for k, v in mfu_info.items() if v is not None},
             **({"w2v_embed_audio_sec_per_sec": w2v_rate} if w2v_rate else {}),
             **(serve or {}),
+            **(batch_curve or {}),
             "e2e_note": "preproc_e2e_rate includes disk+host<->device I/O; bounded by h2d_link_mbps on this tunneled harness (real TPU hosts: GB/s DMA)",
         },
     }

@@ -119,6 +119,101 @@ class TorchBatchNorm(nn.Module):
         return y
 
 
+def _flat_matmul(x3: Array, w: Array) -> Array:
+    """(B, T, Cin) @ (Cin, Cout) as an explicitly 2-D (B·T, Cin) GEMM.
+
+    The flattening is load-bearing on TPU, not cosmetic: a 3-D dot whose
+    leading dim equals the 128-lane width tempts XLA's conv/dot emitter into
+    batch-in-lanes operand layouts (EmitInputBatchInLanes), and layout
+    assignment then propagates batch-minor {0,2,1} layouts through the whole
+    step — at B=128 the flagship program grew 3,786 batch-minor ops, ~35 ms
+    windowed-transpose fusions and 70 ms layout-conversion copies. A 2-D GEMM
+    has no batch dim to mislay. (Measured: this + the custom-VJP backward
+    lift B=64 from 76 to 80 steps/s / 41% MFU; the B=128 collapse on the
+    tunneled harness persists regardless — its compiler footprint is 2.37 GB
+    on a 16 GB chip with sublinear temps, B=96 at 2.03 GB scales cleanly, so
+    that cliff is the harness's restricted HBM grant, not this layout issue —
+    BENCH train_batch_curve.)"""
+    B, T, Cin = x3.shape
+    y = jnp.einsum(
+        "nc,cf->nf", x3.reshape(B * T, Cin), w, preferred_element_type=x3.dtype
+    )
+    return y.reshape(B, T, w.shape[-1])
+
+
+def _gemm_conv_taps(x: Array, kernel: Array, dilation: int) -> Array:
+    """y[t] = Σ_j x[t + (j-c)·d] @ W_j — k shifted full-width MXU GEMMs
+    ('SAME' zero padding, odd k). x: (B, T, Cin); kernel: (k, Cin, Cout)."""
+    k = kernel.shape[0]
+    p = (k // 2) * dilation
+    T = x.shape[-2]
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+    y = None
+    for j in range(k):
+        xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=-2)
+        yj = _flat_matmul(xj, kernel[j])
+        y = yj if y is None else y + yj
+    return y
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gemm_conv(x: Array, kernel: Array, dilation: int) -> Array:
+    return _gemm_conv_taps(x, kernel, dilation)
+
+
+def _gemm_conv_fwd(x, kernel, dilation):
+    return _gemm_conv_taps(x, kernel, dilation), (x, kernel)
+
+
+def _gemm_conv_bwd(dilation, res, g):
+    """Hand-written transpose of the tap-GEMM conv, as tap GEMMs.
+
+    XLA's autodiff transpose of the forward pattern-matches into an actual
+    convolution HLO, and at some batch sizes the TPU conv emitter picks a
+    catastrophic strategy for it: at B=128 each of the 10 backward convs of
+    the flagship ConvBlock stack compiled to a 52.7M-cycle kernel
+    (EmitAllBatchInSublanes, ~35 ms EACH) — 75x the costliest op of the
+    whole B=64 step. The same math written explicitly stays on the
+    dense-GEMM path at every batch size:
+      dW_j = x_j^T g            (one (Cin, B·T)x(B·T, Cout) GEMM per tap)
+      dx   = Σ_j shift_{-j}(g @ W_j^T)   (the mirrored shifted-slice sum)
+    Grad dtype matches the autodiff path: GEMMs in the primal dtype.
+    Measured effect (v5e, BENCH r4): B=64 76 -> 80 steps/s (MFU 38.8 ->
+    41.0%); the B=128 cliff on the tunneled harness is NOT cured — that one
+    is the harness's restricted HBM grant (see _flat_matmul docstring)."""
+    x, kernel = res
+    k, Cin, Cout = kernel.shape
+    p = (k // 2) * dilation
+    B, T = x.shape[0], x.shape[-2]
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+    gf = g.reshape(B * T, Cout)
+    dk_taps = []
+    dx = None
+    for j in range(k):
+        xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=-2)
+        dk_taps.append(
+            jnp.einsum(
+                "nc,nf->cf", xj.reshape(B * T, Cin), gf,
+                preferred_element_type=g.dtype,
+            )
+        )
+        hj = jnp.einsum(
+            "nf,cf->nc", gf, kernel[j], preferred_element_type=g.dtype
+        ).reshape(B, T, Cin)
+        hjp = jnp.pad(hj, ((0, 0), (p, p), (0, 0)))
+        dxj = jax.lax.dynamic_slice_in_dim(
+            hjp, 2 * p - j * dilation, T, axis=-2
+        )
+        dx = dxj if dx is None else dx + dxj
+    return dx, jnp.stack(dk_taps)
+
+
+_gemm_conv.defvjp(_gemm_conv_fwd, _gemm_conv_bwd)
+
+
 class Conv1d(nn.Module):
     """1-D conv in (B, T, C) layout with torch-default init and 'SAME' padding.
 
@@ -153,18 +248,10 @@ class Conv1d(nn.Module):
         k = self.kernel_size
         if self.impl == "gemm" and k > 1:
             assert k % 2 == 1, "gemm impl assumes odd kernels ('SAME' centering)"
-            d = self.dilation
-            pad = (k // 2) * d
-            T = x.shape[-2]
-            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-            y = None
-            for j in range(k):
-                xj = jax.lax.dynamic_slice_in_dim(xp, j * d, T, axis=-2)
-                yj = jnp.einsum(
-                    "btc,cf->btf", xj, kernel[j].astype(dt),
-                    preferred_element_type=dt,
-                )
-                y = yj if y is None else y + yj
+            # custom VJP: keeps the BACKWARD pass on the dense-GEMM path too
+            # (XLA's transpose re-forms a convolution and its TPU emitter
+            # collapses at some batch sizes — see _gemm_conv_bwd)
+            y = _gemm_conv(x, kernel.astype(dt), self.dilation)
         elif self.impl == "gemm_wide" and k > 1:
             # ONE (B·T, Cin)x(Cin, k·Cout) GEMM for all k taps, then k
             # shifted-slice adds (fused elementwise). Lane economics on the
@@ -186,6 +273,12 @@ class Conv1d(nn.Module):
             for j in range(k):
                 yj = jax.lax.dynamic_slice_in_dim(zp[..., j, :], j * d, T, axis=-2)
                 y = yj if y is None else y + yj
+        elif k == 1 and self.impl in ("gemm", "gemm_wide"):
+            # 1x1 convs lower to one flattened 2-D GEMM (see _flat_matmul:
+            # conv_general_dilated at B=128 picks batch-in-lanes layouts and
+            # poisons the whole program); autodiff of a 2-D dot is 2-D dots,
+            # so no custom VJP is needed here
+            y = _flat_matmul(x, kernel[0].astype(dt))
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -216,14 +216,16 @@ def test_conv_impl_gemm_matches_xla(loc_module=None):
 
 
 def test_conv_impl_gemm_wide_grad_parity():
-    """gemm_wide must also match in the backward pass (same loss grads as
-    the xla lowering) — it reorders the tap sum into one wide GEMM plus
-    shifted-slice adds, exercising every dilation in the 5-block stack."""
+    """gemm and gemm_wide must also match in the backward pass (same loss
+    grads as the xla lowering), exercising every dilation in the 5-block
+    stack. 'gemm' carries a hand-written custom VJP (_gemm_conv_bwd — XLA's
+    autodiff transpose re-forms a convolution whose TPU emitter collapses at
+    B=128); this is the numerical gate on that backward."""
     loc = ch_locations_2d("Gwilliams2022", cache=False)
     X = np.random.default_rng(4).normal(size=(2, 208, 48)).astype(np.float32)
     sidx = np.zeros(2, np.int32)
     grads = {}
-    for impl in ("xla", "gemm_wide"):
+    for impl in ("xla", "gemm", "gemm_wide"):
         enc = BrainEncoder(
             num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4, conv_impl=impl
         )
@@ -240,13 +242,14 @@ def test_conv_impl_gemm_wide_grad_parity():
             return (Z * Z).mean()
 
         grads[impl] = jax.grad(loss)(v["params"])
-    jax.tree.map(
-        lambda ga, gb: np.testing.assert_allclose(
-            np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=1e-6
-        ),
-        grads["xla"],
-        grads["gemm_wide"],
-    )
+    for impl in ("gemm", "gemm_wide"):
+        jax.tree.map(
+            lambda ga, gb: np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=1e-6
+            ),
+            grads["xla"],
+            grads[impl],
+        )
 
 
 def test_remat_identical_outputs():
