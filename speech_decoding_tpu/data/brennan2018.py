@@ -77,8 +77,12 @@ class Brennan2018Dataset:
         self.exact_mne_grid = bool(args.preprocs.get("exact_mne_grid", False))
         # tpu.preproc_backend: device | host | auto (see configs/config.yaml);
         # Brennan always runs the exact MNE grid, so the backend is purely a
-        # routing choice here (identical numerics up to f32 FFT rounding)
+        # routing choice here (identical numerics up to f32 FFT rounding with
+        # transfer_dtype=float32; the auto route defaults to int16 uploads —
+        # ~90 dB SNR — unless preprocs.exact_mne_grid or
+        # tpu.preproc_transfer_dtype says otherwise)
         self.preproc_backend = str(args.select("tpu.preproc_backend", "device") or "device")
+        self.preproc_transfer_dtype = args.select("tpu.preproc_transfer_dtype", None)
         last4layers = args.preprocs["last4layers"]
         force_recompute = bool(args.get("rebuild_dataset", False))
         self._wav2vec = wav2vec
@@ -204,6 +208,13 @@ class Brennan2018Dataset:
             # single stacked pass)
             from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
 
+            # device-share upload dtype: explicit tpu.preproc_transfer_dtype
+            # wins; else int16 (link-bound perf default) unless
+            # exact_mne_grid's byte-stability promise demands float32
+            transfer = str(
+                self.preproc_transfer_dtype
+                or ("float32" if self.exact_mne_grid else "int16")
+            )
             outs = np.stack(
                 preprocess_auto(
                     [stacked[i] for i in range(stacked.shape[0])],
@@ -211,6 +222,7 @@ class Brennan2018Dataset:
                     self.brain_filter_low,
                     self.brain_filter_high,
                     out_rate,
+                    transfer_dtype=transfer,
                     force=None if self.preproc_backend == "auto" else "host",
                 )
             )

@@ -240,6 +240,9 @@ class Gwilliams2022DatasetBase:
         self.memory_efficient = bool(args.get("memory_efficient", True))
         # tpu.preproc_backend: device | host | auto (see configs/config.yaml)
         self.preproc_backend = str(args.select("tpu.preproc_backend", "device") or "device")
+        # raw-upload dtype for device-routed preprocessing (None = derive:
+        # int16 on the auto/host route unless exact_mne_grid, see below)
+        self.preproc_transfer_dtype = args.select("tpu.preproc_transfer_dtype", None)
         self._wav2vec = wav2vec
         # preprocs.drop_overlap_sec enables the reference's DOCUMENTED-but-
         # unimplemented drop_overlapping_words (typically = seq_len_sec);
@@ -351,17 +354,27 @@ class Gwilliams2022DatasetBase:
                 f"({len(keys) - len(todo_keys)} resumed from parts)",
                 "cyan",
             )
+            exact_grid = bool(self.preprocs.get("exact_mne_grid", False))
             if self.preproc_backend in ("host", "auto"):
                 # hybrid/host routing (every route runs the exact MNE grid;
-                # see ops/preproc_dispatch.py)
+                # see ops/preproc_dispatch.py). The device share's raw-upload
+                # dtype: explicit tpu.preproc_transfer_dtype wins; otherwise
+                # int16 (the link-bound perf default) unless exact_mne_grid
+                # demands byte-stable caches across backends, which int16
+                # quantization would break -> float32
                 from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
 
+                transfer = str(
+                    self.preproc_transfer_dtype
+                    or ("float32" if exact_grid else "int16")
+                )
                 outs = preprocess_auto(
                     raw_list,
                     BRAIN_ORIG_RATE,
                     self.brain_filter_low,
                     self.brain_filter_high,
                     float(self.brain_resample_rate),
+                    transfer_dtype=transfer,
                     force=None if self.preproc_backend == "auto" else "host",
                 )
             else:
@@ -376,7 +389,10 @@ class Gwilliams2022DatasetBase:
                     # tests/test_pipeline_golden_gwilliams.py) at ~2x FFT cost;
                     # default = fused exact-rational grid (sub-sample deviation,
                     # documented in PARITY.md)
-                    exact_grid=bool(self.preprocs.get("exact_mne_grid", False)),
+                    exact_grid=exact_grid,
+                    # device backend default stays float32 (parity-first);
+                    # tpu.preproc_transfer_dtype overrides for slow links
+                    transfer_dtype=str(self.preproc_transfer_dtype or "float32"),
                 )
             for k, o in zip(todo_keys, outs):
                 np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))
@@ -650,7 +666,8 @@ class Gwilliams2022SentenceSplit(Gwilliams2022DatasetBase):
         # matter what else ran first. split_legacy_global_rng=true replicates
         # the reference behavior (executed-reference golden uses it).
         self.split_legacy_global_rng = bool(args.get("split_legacy_global_rng", False))
-        self._split_seed = int(args.select("resolved_seed", None) or args.get("seed", 0))
+        _rs = args.select("resolved_seed", None)  # 0 is a valid drawn seed
+        self._split_seed = int(_rs if _rs is not None else args.get("seed", 0))
         super().__init__(args, **kw)
 
     def batchfy(self):

@@ -42,15 +42,62 @@ _STANDARD_STRIDES = (5, 2, 2, 2, 2, 2, 2)
 
 def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Read a .safetensors file into {name: numpy array}, stripping a
-    ``wav2vec2.`` prefix when present (ForCTC/ForPreTraining exports)."""
-    from safetensors.numpy import load_file
+    ``wav2vec2.`` prefix when present (ForCTC/ForPreTraining exports).
 
-    raw = load_file(path)
+    From-spec parser, zero dependencies (so ``pip install
+    speech-decoding-tpu`` + one .safetensors file really is enough — the
+    ``safetensors`` package is NOT a core dependency). Format
+    (https://github.com/huggingface/safetensors#format): little-endian u64
+    header length, a JSON header mapping tensor name ->
+    {dtype, shape, data_offsets} (offsets relative to the end of the
+    header), then the raw buffers. Parity with ``safetensors.numpy`` is
+    tested across every dtype including bf16 (tests/test_wav2vec2.py)."""
+    raw = _parse_safetensors(path)
     if any(k.startswith("wav2vec2.") for k in raw):
         raw = {
             k[len("wav2vec2.") :]: v for k, v in raw.items() if k.startswith("wav2vec2.")
         }
     return raw
+
+
+# safetensors dtype tag -> numpy. BF16 has no numpy dtype: read the raw u16
+# payload and widen to f32 by shifting into the high mantissa/exponent bits.
+_ST_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U64": np.uint64, "U32": np.uint32, "U16": np.uint16, "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+
+
+def _parse_safetensors(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 8:
+        raise ValueError(f"{path}: not a safetensors file (too short)")
+    hlen = int.from_bytes(data[:8], "little")
+    if 8 + hlen > len(data):
+        raise ValueError(f"{path}: header length {hlen} exceeds file size")
+    header = json.loads(data[8 : 8 + hlen].decode("utf-8"))
+    base = 8 + hlen
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        buf = data[base + start : base + end]
+        shape = tuple(meta["shape"])
+        tag = meta["dtype"]
+        if tag == "BF16":
+            u16 = np.frombuffer(buf, dtype="<u2")
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        elif tag in _ST_DTYPES:
+            arr = np.frombuffer(buf, dtype=np.dtype(_ST_DTYPES[tag]).newbyteorder("<"))
+            arr = arr.astype(_ST_DTYPES[tag], copy=False)
+        else:
+            raise ValueError(f"{path}: unsupported safetensors dtype {tag} for {name}")
+        out[name] = arr.reshape(shape)
+    return out
 
 
 def infer_config(

@@ -417,6 +417,17 @@ class TestSentenceSplitRNGContract:
         c = self._split(gwilliams_root, w2v, resolved_seed=8)
         assert c != a
 
+    def test_resolved_seed_zero_is_a_real_seed(self, gwilliams_root, w2v):
+        """resolved_seed=0 is a legitimate os.urandom draw; it must NOT be
+        treated as missing and silently fall back to `seed` (regression:
+        the falsy `or` made a 0-seed run's split irreproducible from its
+        recorded resolved_seed)."""
+        a = self._split(gwilliams_root, w2v, resolved_seed=0, seed=1)
+        b = self._split(gwilliams_root, w2v, resolved_seed=0, seed=2)
+        assert a == b  # `seed` must not leak into the split
+        c = self._split(gwilliams_root, w2v, resolved_seed=1, seed=1)
+        assert c != a  # and 0 is an actual seed value, not "unset"
+
     def test_legacy_flag_restores_global_rng_coupling(self, gwilliams_root, w2v):
         np.random.seed(0)
         a = self._split(

@@ -173,6 +173,48 @@ class TestDatasetBackendWiring:
                 scale = np.abs(b).max()
                 assert np.abs(a - b).max() / scale < 1e-5, (k, task)
 
+    def test_auto_route_transfer_dtype_derivation(self, tmp_path, monkeypatch):
+        """The auto route's device-share upload dtype must follow the rule:
+        explicit tpu.preproc_transfer_dtype wins; otherwise int16 unless
+        preprocs.exact_mne_grid (whose byte-stable-caches promise int16
+        quantization would break) forces float32. Regression for the r4
+        review finding that the auto route hardwired int16 and silently
+        ignored exact_mne_grid."""
+        import fixtures
+        from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit
+        from speech_decoding_tpu.ops import preproc_dispatch
+        from speech_decoding_tpu.ops.brain_preproc_host import preprocess_host
+
+        w2v = fixtures.tiny_wav2vec()
+        seen = []
+
+        def spy(recordings, sfreq, l_freq, h_freq, out_rate, **kw):
+            seen.append(kw.get("transfer_dtype", "int16"))
+            # host path produces valid outputs without touching a device
+            return preprocess_host(recordings, sfreq, l_freq, h_freq, out_rate)
+
+        monkeypatch.setattr(preproc_dispatch, "preprocess_auto", spy)
+        for i, (exact, explicit, expect) in enumerate((
+            (False, None, "int16"),
+            (True, None, "float32"),
+            (False, "bfloat16", "bfloat16"),
+        )):
+            # fresh tree per case: the per-recording parts cache would
+            # otherwise resume and never reach the dispatcher
+            root = str(tmp_path / f"case{i}")
+            fixtures.make_gwilliams_tree(root)
+            cfg = fixtures.make_config(root, "Gwilliams2022")
+            cfg.rebuild_dataset = True
+            cfg.set_path("tpu.preproc_backend", "auto")
+            cfg.preprocs["exact_mne_grid"] = exact
+            if explicit is not None:
+                cfg.set_path("tpu.preproc_transfer_dtype", explicit)
+            Gwilliams2022ShallowSplit(
+                cfg, wav2vec=w2v, num_subjects=2, num_sessions=2, num_tasks=2
+            )
+            assert seen[-1] == expect, (exact, explicit, seen[-1])
+        assert len(seen) == 3
+
     def test_brennan_host_backend_matches_device(self, tmp_path):
         import fixtures
         from speech_decoding_tpu.data.brennan2018 import Brennan2018Dataset

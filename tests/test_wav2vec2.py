@@ -365,6 +365,50 @@ def test_safetensors_infer_config(tmp_path):
         infer_config(read_safetensors(path))  # hidden=32 not a published width
 
 
+def test_safetensors_from_spec_parser_matches_library(tmp_path):
+    """The zero-dependency from-spec parser (_parse_safetensors) must agree
+    with the safetensors library byte-for-byte on every dtype it claims,
+    including BF16 (no numpy dtype: widened to f32 by a 16-bit shift). This
+    is what makes 'pip install speech-decoding-tpu + one .safetensors file'
+    true without the safetensors package installed."""
+    import torch
+    from safetensors.numpy import load_file
+    from safetensors.torch import save_file
+
+    from speech_decoding_tpu.models.wav2vec2_safetensors import _parse_safetensors
+
+    g = torch.Generator().manual_seed(3)
+    tensors = {
+        "f32": torch.randn(5, 7, generator=g),
+        "f16": torch.randn(4, 3, generator=g).half(),
+        "f64": torch.randn(2, 6, generator=g).double(),
+        "i64": torch.randint(-9, 9, (3, 3), generator=g),
+        "i32": torch.randint(-9, 9, (2, 5), generator=g).int(),
+        "u8": torch.randint(0, 255, (4, 4), generator=g).to(torch.uint8),
+        "bool": torch.randint(0, 2, (3, 4), generator=g).bool(),
+        "bf16": torch.randn(6, 2, generator=g).bfloat16(),
+        "scalar0d": torch.tensor(2.5),
+    }
+    path = str(tmp_path / "dtypes.safetensors")
+    save_file({k: v.contiguous() for k, v in tensors.items()}, path)
+
+    ours = _parse_safetensors(path)
+    assert set(ours) == set(tensors)
+    lib = load_file(path)
+    for k, v in lib.items():
+        assert ours[k].shape == v.shape
+        if k == "bf16":
+            # the library keeps ml_dtypes.bfloat16; ours widens to f32
+            # (exact: bf16 -> f32 is lossless), which is what the flax
+            # param port wants anyway
+            assert ours[k].dtype == np.float32
+            np.testing.assert_array_equal(ours[k], np.asarray(v, np.float32))
+        else:
+            assert ours[k].dtype == v.dtype
+            np.testing.assert_array_equal(ours[k], v)
+    np.testing.assert_array_equal(ours["bf16"], tensors["bf16"].float().numpy())
+
+
 def test_load_wav2vec_model_torch_free_from_safetensors(tmp_path):
     """End to end WITHOUT torch at load time: save_pretrained writes
     model.safetensors + config.json; load_wav2vec_model takes the torch-free
