@@ -193,18 +193,26 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0, fused_rate: float 
             assert len(outs) == n_rec and outs[0].shape[0] == 208
             return outs
 
+        # best-of-2 reps: this harness's tunnel has multi-second transient
+        # stalls that can double a single rep (one r4 run measured the
+        # all-host hybrid at 0.53x the host-only rate it is identical to);
+        # the min is the honest steady-state figure
+        def timed_best(fn, reps=2):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
         run_once()  # compile (same shapes -> same jit key as the timed run)
         _log("e2e timed run (disk -> host -> device -> host)")
-        t0 = time.perf_counter()
-        run_once()
-        dt = time.perf_counter() - t0
+        dt = timed_best(run_once)
 
         # int16 per-channel-scaled raw transfer: halves the upload bytes on
         # link-bound hosts at ~90 dB SNR (parity-bound in tests/test_ops.py)
         run_once("int16")  # compile the dequant program
-        t0 = time.perf_counter()
-        run_once("int16")
-        dt_q = time.perf_counter() - t0
+        dt_q = timed_best(lambda: run_once("int16"))
 
         # host-only route (numpy/scipy twin; no device bytes at all)
         from speech_decoding_tpu.ops.brain_preproc_host import preprocess_host
@@ -216,9 +224,7 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0, fused_rate: float 
             return preprocess_host(recs, 1000.0, 1.0, 60.0, 120.0)
 
         run_host()  # warm FFT plans / page cache
-        t0 = time.perf_counter()
-        run_host()
-        dt_h = time.perf_counter() - t0
+        dt_h = timed_best(run_host)
 
         # hybrid dispatcher: probe link/compute/host rates, split across
         # both routes (on a 1-core host with a live device it routes
@@ -242,9 +248,7 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0, fused_rate: float 
             )
 
         run_auto()  # warm (compiles the exact-grid device programs)
-        t0 = time.perf_counter()
-        run_auto()
-        dt_a = time.perf_counter() - t0
+        dt_a = timed_best(run_auto)
     rate = n_rec * rec_secs / dt
     rate_q = n_rec * rec_secs / dt_q
     rate_h = n_rec * rec_secs / dt_h
