@@ -35,11 +35,24 @@ import scipy.fft
 from speech_decoding_tpu.ops.fir import design_bandpass_fir
 
 __all__ = [
+    "usable_cpus",
     "reflect_limited_pad_np",
     "fir_filter_zero_phase_np",
     "fft_resample_np",
     "preprocess_host",
 ]
+
+
+def usable_cpus() -> int:
+    """CPUs this process may actually run on. ``os.cpu_count()`` reports the
+    machine, not the cgroup/affinity grant — on a 128-core host pinned to one
+    core it says 128, which would size thread pools 128 wide and (worse) let
+    the dispatcher take the mixed host+device split that a single core cannot
+    pump. ``sched_getaffinity`` reflects the real grant on Linux."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
 
 
 def reflect_limited_pad_np(x: np.ndarray, n_pad: int) -> np.ndarray:
@@ -141,7 +154,7 @@ def preprocess_host(
     """
     if not recordings:
         return []
-    ncpu = os.cpu_count() or 1
+    ncpu = usable_cpus()
     pool_w = max(1, int(workers) if workers is not None else min(ncpu, len(recordings)))
     fft_workers = -1 if pool_w == 1 else 1
     taps = design_bandpass_fir(sfreq, l_freq, h_freq).astype(np.float32)

@@ -218,10 +218,11 @@ def preprocess_auto(
         # the device stream needs a host core for its own pump (quantize,
         # gRPC/DMA, readback copies); on a single-core host a concurrent FFT
         # thread starves it, so never MIX routes there — pick the single
-        # faster one instead (multi-core hosts split proportionally)
-        import os as _os
+        # faster one instead (multi-core hosts split proportionally).
+        # usable_cpus: the affinity/cgroup grant, not the machine size
+        from speech_decoding_tpu.ops.brain_preproc_host import usable_cpus
 
-        ncpu = _os.cpu_count() or 1
+        ncpu = usable_cpus()
         durations = [r.shape[-1] / sfreq for r in recordings]
         if dev_e2e > 0 and ncpu <= 1:
             best = "device" if dev_e2e >= rates["host_rate"] else "host"

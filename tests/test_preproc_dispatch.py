@@ -138,6 +138,45 @@ class TestDispatcher:
             out[0], preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)[0]
         )
 
+    def test_usable_cpus_respects_affinity_not_machine_size(self, monkeypatch):
+        """A cgroup/affinity-pinned process must size by its grant, not the
+        machine: os.cpu_count() on a 64-core host pinned to one core says 64,
+        which would let the dispatcher take the mixed host+device split that
+        a single core cannot pump."""
+        import os
+
+        from speech_decoding_tpu.ops import brain_preproc_host as bph
+
+        monkeypatch.setattr(os, "cpu_count", lambda: 64)
+        monkeypatch.setattr(os, "sched_getaffinity", lambda pid: {0}, raising=False)
+        assert bph.usable_cpus() == 1
+        # non-Linux fallback: no sched_getaffinity -> cpu_count
+        def _raise(pid):
+            raise AttributeError
+        monkeypatch.setattr(os, "sched_getaffinity", _raise, raising=False)
+        assert bph.usable_cpus() == 64
+
+    def test_auto_never_mixes_routes_on_one_core(self, rng, monkeypatch):
+        """With a single usable core the dispatcher must pick ONE route (the
+        concurrent host FFT thread starves the device stream's pump), even
+        when rates would otherwise plan a mixed split."""
+        from speech_decoding_tpu.ops import brain_preproc
+        from speech_decoding_tpu.ops import brain_preproc_host as bph
+
+        recs = [rng.normal(size=(2, 3000)).astype(np.float32) for _ in range(4)]
+        # host faster than modeled device e2e -> single-core pick = host
+        rates = {"host_rate": 500.0, "device_rate": 1000.0, "link_mbps": 0.1}
+        monkeypatch.setattr(bph, "usable_cpus", lambda: 1)
+
+        def _no_device(*a, **kw):
+            raise AssertionError("device route must not run on a 1-core host pick")
+
+        monkeypatch.setattr(brain_preproc, "preprocess_batch", _no_device)
+        out = preprocess_auto(recs, 500.0, 1.0, 60.0, 120.0, rates=rates, verbose=False)
+        ref = preprocess_host(recs, 500.0, 1.0, 60.0, 120.0)
+        for o, r in zip(out, ref):
+            np.testing.assert_array_equal(o, r)
+
 
 class TestDatasetBackendWiring:
     """tpu.preproc_backend routes the dataset cache builds; host and device
