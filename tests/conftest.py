@@ -8,6 +8,12 @@ mesh instead so sharding/collective paths are exercised hermetically
 
 import os
 
+# every test is network-free by design; huggingface_hub reads this at import
+# time, so set it before anything imports transformers — otherwise a
+# missing-model test spends ~65 s in a TCP connect timeout on egress-less
+# machines instead of failing fast through the same exception path
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -120,7 +120,10 @@ def test_embed_waveform_last4_chunking():
 
 def test_offline_load_raises_informative_error():
     """Without network or a local checkpoint, load_wav2vec_model must fail
-    with actionable guidance rather than a bare download error."""
+    with actionable guidance rather than a bare download error.
+    conftest sets HF_HUB_OFFLINE (read at import time) so the hub fails
+    fast — without it this test spends ~65 s in a TCP connect timeout on
+    egress-less machines (same terminal exception path, just immediate)."""
     from speech_decoding_tpu.models.wav2vec_util import load_wav2vec_model
 
     with pytest.raises(RuntimeError, match="local checkpoint"):
