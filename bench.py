@@ -283,7 +283,8 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0, fused_rate: float 
         "preproc_e2e_modeled_1gbit_eth_int16": round(modeled_1gbit, 1),
         "preproc_e2e_modeled_1GBps_int16": round(modeled_1g, 1),
         "preproc_e2e_modeled_10GBps_int16": round(modeled_10g, 1),
-        "preproc_e2e_min_link_mbps_for_10x": round(min_link_10x, 1),
+        # MBps = megaBYTES/s (like the 1GBps key), not megabits
+        "preproc_e2e_min_link_MBps_for_10x": round(min_link_10x, 1),
         "dispatch_probe": rates,
         "h2d_link_mbps": round(h2d_mbps, 1),
     }

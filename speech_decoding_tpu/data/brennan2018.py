@@ -202,19 +202,21 @@ class Brennan2018Dataset:
         new_srate = EEG_SRATE / down
         cprint(f"Batched filter+resample of {stacked.shape} -> {new_srate:.3f} Hz", "cyan")
         out_rate = EEG_SRATE / down
+        # the shared upload-dtype rule (ops/preproc_dispatch.py): explicit
+        # tpu.preproc_transfer_dtype wins; device backend ships float32
+        # (parity-first); auto/host routes ship int16 unless exact_mne_grid's
+        # byte-stability promise demands float32
+        from speech_decoding_tpu.ops.preproc_dispatch import derive_transfer_dtype
+
+        transfer = derive_transfer_dtype(
+            self.preproc_transfer_dtype, self.exact_mne_grid, self.preproc_backend
+        )
         if self.preproc_backend in ("host", "auto"):
             # per-subject recordings so the hybrid dispatcher can split the
             # list across host and device (row-local ops: identical to the
             # single stacked pass)
             from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
 
-            # device-share upload dtype: explicit tpu.preproc_transfer_dtype
-            # wins; else int16 (link-bound perf default) unless
-            # exact_mne_grid's byte-stability promise demands float32
-            transfer = str(
-                self.preproc_transfer_dtype
-                or ("float32" if self.exact_mne_grid else "int16")
-            )
             outs = np.stack(
                 preprocess_auto(
                     [stacked[i] for i in range(stacked.shape[0])],
@@ -236,6 +238,7 @@ class Brennan2018Dataset:
                 self.brain_filter_high,
                 out_rate,
                 microbatch=1,
+                transfer_dtype=transfer,
                 exact_grid=self.exact_mne_grid,
             )[0]
             X = outs.reshape(stacked.shape[0], NUM_EEG_CHANNELS, -1)

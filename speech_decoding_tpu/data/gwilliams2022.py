@@ -355,19 +355,20 @@ class Gwilliams2022DatasetBase:
                 "cyan",
             )
             exact_grid = bool(self.preprocs.get("exact_mne_grid", False))
+            # the shared upload-dtype rule (ops/preproc_dispatch.py):
+            # explicit tpu.preproc_transfer_dtype wins; device backend ships
+            # float32 (parity-first); auto/host routes ship int16 unless
+            # exact_mne_grid's byte-stability promise demands float32
+            from speech_decoding_tpu.ops.preproc_dispatch import derive_transfer_dtype
+
+            transfer = derive_transfer_dtype(
+                self.preproc_transfer_dtype, exact_grid, self.preproc_backend
+            )
             if self.preproc_backend in ("host", "auto"):
                 # hybrid/host routing (every route runs the exact MNE grid;
-                # see ops/preproc_dispatch.py). The device share's raw-upload
-                # dtype: explicit tpu.preproc_transfer_dtype wins; otherwise
-                # int16 (the link-bound perf default) unless exact_mne_grid
-                # demands byte-stable caches across backends, which int16
-                # quantization would break -> float32
+                # see ops/preproc_dispatch.py)
                 from speech_decoding_tpu.ops.preproc_dispatch import preprocess_auto
 
-                transfer = str(
-                    self.preproc_transfer_dtype
-                    or ("float32" if exact_grid else "int16")
-                )
                 outs = preprocess_auto(
                     raw_list,
                     BRAIN_ORIG_RATE,
@@ -390,9 +391,7 @@ class Gwilliams2022DatasetBase:
                     # default = fused exact-rational grid (sub-sample deviation,
                     # documented in PARITY.md)
                     exact_grid=exact_grid,
-                    # device backend default stays float32 (parity-first);
-                    # tpu.preproc_transfer_dtype overrides for slow links
-                    transfer_dtype=str(self.preproc_transfer_dtype or "float32"),
+                    transfer_dtype=transfer,
                 )
             for k, o in zip(todo_keys, outs):
                 np.save(os.path.join(parts_dir, f"{k}.npy"), o.astype(np.float32))

@@ -71,32 +71,61 @@ _ST_DTYPES = {
 
 
 def _parse_safetensors(path: str) -> Dict[str, np.ndarray]:
-    with open(path, "rb") as f:
-        data = f.read()
-    if len(data) < 8:
-        raise ValueError(f"{path}: not a safetensors file (too short)")
-    hlen = int.from_bytes(data[:8], "little")
-    if 8 + hlen > len(data):
-        raise ValueError(f"{path}: header length {hlen} exceeds file size")
-    header = json.loads(data[8 : 8 + hlen].decode("utf-8"))
-    base = 8 + hlen
+    """Streamed per-tensor reads: peak memory is the decoded tensors plus one
+    tensor's transient copy (never 2x the whole file), every offset/size is
+    validated so a truncated download raises a named error instead of an
+    opaque numpy reshape failure, and the returned arrays are writable
+    native-endian copies (like ``safetensors.numpy.load_file``)."""
+    fsize = os.path.getsize(path)
     out: Dict[str, np.ndarray] = {}
-    for name, meta in header.items():
-        if name == "__metadata__":
-            continue
-        start, end = meta["data_offsets"]
-        buf = data[base + start : base + end]
-        shape = tuple(meta["shape"])
-        tag = meta["dtype"]
-        if tag == "BF16":
-            u16 = np.frombuffer(buf, dtype="<u2")
-            arr = (u16.astype(np.uint32) << 16).view(np.float32)
-        elif tag in _ST_DTYPES:
-            arr = np.frombuffer(buf, dtype=np.dtype(_ST_DTYPES[tag]).newbyteorder("<"))
-            arr = arr.astype(_ST_DTYPES[tag], copy=False)
-        else:
-            raise ValueError(f"{path}: unsupported safetensors dtype {tag} for {name}")
-        out[name] = arr.reshape(shape)
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if len(head) < 8:
+            raise ValueError(f"{path}: not a safetensors file (too short)")
+        hlen = int.from_bytes(head, "little")
+        if 8 + hlen > fsize:
+            raise ValueError(f"{path}: header length {hlen} exceeds file size")
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        base = 8 + hlen
+        for name, meta in header.items():
+            if name == "__metadata__":
+                continue
+            start, end = meta["data_offsets"]
+            shape = tuple(meta["shape"])
+            tag = meta["dtype"]
+            if tag == "BF16":
+                itemsize = 2
+            elif tag in _ST_DTYPES:
+                itemsize = np.dtype(_ST_DTYPES[tag]).itemsize
+            else:
+                raise ValueError(
+                    f"{path}: unsupported safetensors dtype {tag} for {name}"
+                )
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            if not (0 <= start <= end) or base + end > fsize:
+                raise ValueError(
+                    f"{path}: tensor {name!r} data_offsets {(start, end)} out of "
+                    f"bounds for file size {fsize} (truncated download?)"
+                )
+            if end - start != count * itemsize:
+                raise ValueError(
+                    f"{path}: tensor {name!r} has {end - start} bytes, expected "
+                    f"{count * itemsize} for shape {shape} dtype {tag}"
+                )
+            f.seek(base + start)
+            buf = f.read(end - start)
+            if len(buf) != end - start:
+                raise ValueError(f"{path}: short read for tensor {name!r} (truncated?)")
+            if tag == "BF16":
+                u16 = np.frombuffer(buf, dtype="<u2")
+                # widen to f32 (lossless) by shifting into the high bits;
+                # astype copies, so the result is writable
+                arr = (u16.astype(np.uint32) << 16).view(np.float32)
+            else:
+                arr = np.frombuffer(
+                    buf, dtype=np.dtype(_ST_DTYPES[tag]).newbyteorder("<")
+                ).astype(_ST_DTYPES[tag])  # copy -> writable, native order
+            out[name] = arr.reshape(shape)
     return out
 
 

@@ -45,14 +45,34 @@ __all__ = [
 
 def usable_cpus() -> int:
     """CPUs this process may actually run on. ``os.cpu_count()`` reports the
-    machine, not the cgroup/affinity grant — on a 128-core host pinned to one
-    core it says 128, which would size thread pools 128 wide and (worse) let
-    the dispatcher take the mixed host+device split that a single core cannot
-    pump. ``sched_getaffinity`` reflects the real grant on Linux."""
+    machine, not the grant — on a 128-core host pinned to one core it says
+    128, which would size thread pools 128 wide and (worse) let the
+    dispatcher take the mixed host+device split that a single core cannot
+    pump. Two Linux mechanisms limit the grant and neither implies the other:
+    ``sched_getaffinity`` (cpusets/affinity masks) and the cgroup-v2 CPU
+    bandwidth quota (``cpu.max``, what ``docker --cpus=N`` sets, invisible to
+    the affinity mask). Take the min of both."""
     try:
-        return len(os.sched_getaffinity(0)) or 1
+        n = len(os.sched_getaffinity(0)) or 1
     except (AttributeError, OSError):  # non-Linux
-        return os.cpu_count() or 1
+        n = os.cpu_count() or 1
+    q = _cgroup_cpu_quota()
+    if q != float("inf"):
+        n = min(n, max(1, int(q)))
+    return n
+
+
+def _cgroup_cpu_quota() -> float:
+    """cgroup-v2 CPU bandwidth grant in CPUs (``cpu.max`` = "<quota_us>
+    <period_us>" or "max <period_us>"), inf when unlimited/absent."""
+    try:
+        with open("/sys/fs/cgroup/cpu.max", "r") as f:
+            quota, period = f.read().split()[:2]
+        if quota != "max" and int(period) > 0:
+            return int(quota) / int(period)
+    except (OSError, ValueError, IndexError):  # cgroup v1 / no cgroup
+        pass
+    return float("inf")
 
 
 def reflect_limited_pad_np(x: np.ndarray, n_pad: int) -> np.ndarray:
@@ -156,7 +176,11 @@ def preprocess_host(
         return []
     ncpu = usable_cpus()
     pool_w = max(1, int(workers) if workers is not None else min(ncpu, len(recordings)))
-    fft_workers = -1 if pool_w == 1 else 1
+    # within-recording FFT threads when the pool is 1-wide: pass the GRANT,
+    # not scipy's -1 (which resolves to the machine-wide os.cpu_count() —
+    # verified in scipy 1.17 — and would spawn 64 FFT threads on a 1-core
+    # affinity grant, the oversubscription usable_cpus exists to prevent)
+    fft_workers = ncpu if pool_w == 1 else 1
     taps = design_bandpass_fir(sfreq, l_freq, h_freq).astype(np.float32)
     down = float(sfreq) / float(out_rate)
 

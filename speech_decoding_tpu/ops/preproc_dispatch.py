@@ -43,9 +43,35 @@ import numpy as np
 from speech_decoding_tpu.ops.brain_preproc_host import preprocess_host
 from speech_decoding_tpu.utils.logging import cprint
 
-__all__ = ["probe_rates", "plan_split", "model_device_e2e", "preprocess_auto"]
+__all__ = [
+    "derive_transfer_dtype",
+    "probe_rates",
+    "plan_split",
+    "model_device_e2e",
+    "preprocess_auto",
+]
 
 _BYTES = {"float32": 4.0, "bfloat16": 2.0, "int16": 2.0}
+
+
+def derive_transfer_dtype(
+    explicit: Optional[str], exact_grid: bool, backend: str
+) -> str:
+    """The ONE rule for the device share's raw-upload dtype (every dataset
+    call site shares it; dataset-level derivation is unit-tested in
+    tests/test_preproc_dispatch.py):
+
+    * an explicit ``tpu.preproc_transfer_dtype`` always wins;
+    * the pure-``device`` backend ships float32 (parity-first default);
+    * the ``auto``/``host`` routes ship int16 (the link-bound perf default)
+      — unless ``preprocs.exact_mne_grid`` is set, whose byte-stable-caches
+      promise int16 quantization would break, so float32.
+    """
+    if explicit:
+        return str(explicit)
+    if backend == "device" or exact_grid:
+        return "float32"
+    return "int16"
 
 # probe results are stable within a process; cache per (sfreq, band, rate)
 _probe_cache: Dict[tuple, dict] = {}

@@ -139,14 +139,16 @@ class TestDispatcher:
         )
 
     def test_usable_cpus_respects_affinity_not_machine_size(self, monkeypatch):
-        """A cgroup/affinity-pinned process must size by its grant, not the
+        """A pinned/quota-limited process must size by its grant, not the
         machine: os.cpu_count() on a 64-core host pinned to one core says 64,
         which would let the dispatcher take the mixed host+device split that
-        a single core cannot pump."""
+        a single core cannot pump. Affinity masks and cgroup-v2 CPU quotas
+        (docker --cpus) are independent limits; both must clamp."""
         import os
 
         from speech_decoding_tpu.ops import brain_preproc_host as bph
 
+        monkeypatch.setattr(bph, "_cgroup_cpu_quota", lambda: float("inf"))
         monkeypatch.setattr(os, "cpu_count", lambda: 64)
         monkeypatch.setattr(os, "sched_getaffinity", lambda pid: {0}, raising=False)
         assert bph.usable_cpus() == 1
@@ -155,6 +157,24 @@ class TestDispatcher:
             raise AttributeError
         monkeypatch.setattr(os, "sched_getaffinity", _raise, raising=False)
         assert bph.usable_cpus() == 64
+        # cgroup quota invisible to the affinity mask (docker --cpus=2)
+        monkeypatch.setattr(
+            os, "sched_getaffinity", lambda pid: set(range(64)), raising=False
+        )
+        monkeypatch.setattr(bph, "_cgroup_cpu_quota", lambda: 2.0)
+        assert bph.usable_cpus() == 2
+
+    def test_derive_transfer_dtype_rule(self):
+        """The ONE shared upload-dtype rule (explicit > device->float32 >
+        exact_grid->float32 > int16) every dataset call site routes through."""
+        from speech_decoding_tpu.ops.preproc_dispatch import derive_transfer_dtype
+
+        assert derive_transfer_dtype(None, False, "auto") == "int16"
+        assert derive_transfer_dtype(None, False, "host") == "int16"
+        assert derive_transfer_dtype(None, True, "auto") == "float32"
+        assert derive_transfer_dtype(None, False, "device") == "float32"
+        assert derive_transfer_dtype("bfloat16", True, "device") == "bfloat16"
+        assert derive_transfer_dtype("int16", False, "device") == "int16"
 
     def test_auto_never_mixes_routes_on_one_core(self, rng, monkeypatch):
         """With a single usable core the dispatcher must pick ONE route (the
@@ -253,6 +273,34 @@ class TestDatasetBackendWiring:
             )
             assert seen[-1] == expect, (exact, explicit, seen[-1])
         assert len(seen) == 3
+
+    def test_brennan_device_backend_honors_transfer_dtype(self, tmp_path, monkeypatch):
+        """Regression (code-review r4): Brennan's pure-device branch dropped
+        tpu.preproc_transfer_dtype on the floor — the documented slow-link
+        override was silently dead on this dataset while working on
+        Gwilliams. Every backend must route through the shared rule."""
+        import fixtures
+        from speech_decoding_tpu.data import brennan2018 as b18
+
+        w2v = fixtures.tiny_wav2vec()
+        real = b18.preprocess_batch
+        seen = []
+
+        def spy(recordings, sfreq, l_freq, h_freq, out_rate, **kw):
+            seen.append(kw.get("transfer_dtype", "float32"))
+            return real(recordings, sfreq, l_freq, h_freq, out_rate, **kw)
+
+        monkeypatch.setattr(b18, "preprocess_batch", spy)
+        for i, (explicit, expect) in enumerate(((None, "float32"), ("int16", "int16"))):
+            root = str(tmp_path / f"case{i}")
+            fixtures.make_brennan_tree(root, eeg_secs=20.0, audio_secs=20.0)
+            cfg = fixtures.make_config(root, "Brennan2018")
+            cfg.rebuild_dataset = True
+            if explicit is not None:
+                cfg.set_path("tpu.preproc_transfer_dtype", explicit)
+            b18.Brennan2018Dataset(cfg, wav2vec=w2v)
+            assert seen[-1] == expect, (explicit, seen[-1])
+        assert len(seen) == 2
 
     def test_brennan_host_backend_matches_device(self, tmp_path):
         import fixtures

@@ -410,6 +410,49 @@ def test_safetensors_from_spec_parser_matches_library(tmp_path):
             assert ours[k].dtype == v.dtype
             np.testing.assert_array_equal(ours[k], v)
     np.testing.assert_array_equal(ours["bf16"], tensors["bf16"].float().numpy())
+    # load_file-compatible contract: writable native-endian arrays (the
+    # from-spec parser must not hand out read-only frombuffer views)
+    for k, v in ours.items():
+        assert v.flags.writeable, k
+        v[...] = 0  # must not raise
+
+
+def test_safetensors_parser_rejects_corrupt_files(tmp_path):
+    """Truncated or inconsistent files must raise a named ValueError (with
+    the path and tensor), not an opaque numpy reshape/buffer error."""
+    import torch
+    from safetensors.torch import save_file
+
+    from speech_decoding_tpu.models.wav2vec2_safetensors import _parse_safetensors
+
+    path = str(tmp_path / "ok.safetensors")
+    save_file({"w": torch.randn(64, 64)}, path)
+    blob = open(path, "rb").read()
+
+    trunc = str(tmp_path / "trunc.safetensors")
+    with open(trunc, "wb") as f:
+        f.write(blob[: len(blob) - 1024])  # header intact, buffer short
+    with pytest.raises(ValueError, match="out of bounds|short read|truncated"):
+        _parse_safetensors(trunc)
+
+    short = str(tmp_path / "short.safetensors")
+    with open(short, "wb") as f:
+        f.write(blob[:4])
+    with pytest.raises(ValueError, match="too short"):
+        _parse_safetensors(short)
+
+    # byte count inconsistent with shape*itemsize
+    import json as _json
+
+    hlen = int.from_bytes(blob[:8], "little")
+    hdr = _json.loads(blob[8 : 8 + hlen].decode())
+    hdr["w"]["shape"] = [64, 63]  # 64*63*4 != buffer bytes
+    raw = _json.dumps(hdr).encode()
+    bad = str(tmp_path / "bad.safetensors")
+    with open(bad, "wb") as f:
+        f.write(len(raw).to_bytes(8, "little") + raw + blob[8 + hlen :])
+    with pytest.raises(ValueError, match="expected"):
+        _parse_safetensors(bad)
 
 
 def test_load_wav2vec_model_torch_free_from_safetensors(tmp_path):
