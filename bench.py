@@ -665,7 +665,14 @@ def bench_batch_curve(
                     )
                 else:
                     note = f"B={b_hi} cliff; memory_analysis unavailable"
-        return {"train_batch_curve": curve, "batch_curve_note": note}
+        return {
+            "train_batch_curve": curve,
+            "batch_curve_note": note,
+            # the curve's short timing window reads ~10-15% below the headline
+            # train_steps_per_sec (100-step window) on this tunneled backend —
+            # the curve is for SHAPE (scaling/cliff), not absolute rate
+            "batch_curve_method": f"{n_steps}-step window after 3 warmup steps",
+        }
     except Exception as e:
         _log(f"batch curve skipped: {e}")
         return None
