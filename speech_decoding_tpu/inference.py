@@ -48,11 +48,6 @@ def retrieve_topk(Z: Array, bank_norm: Array, k: int = 10) -> Tuple[Array, Array
     return jax.lax.top_k(sim, min(int(k), bank_norm.shape[0]))
 
 
-# largest contraction length whose int8 x int8 dot cannot overflow int32:
-# every product is <= 127^2, so a chunk of 2^17 terms sums to <= 2.11e9 < 2^31
-_INT8_DOT_CHUNK = 1 << 17
-
-
 def quantize_rows_int8(rows: Array) -> Tuple[Array, Array]:
     """Per-row symmetric int8 quantization: returns (q (N, D) int8,
     scale (N,) f32) with q * scale ~= rows. The ONE quantization scheme for
@@ -63,71 +58,41 @@ def quantize_rows_int8(rows: Array) -> Tuple[Array, Array]:
     return q, scale.astype(jnp.float32)
 
 
-def pack_int8_bank(bank_q: Array) -> Array:
-    """(N, D) int8 -> (n_chunks, N, CHUNK) int8, zero-padded along D.
-
-    Done ONCE at ``set_bank`` time: the chunked int8 contraction needs the
-    bank in (chunk, row, lane) layout, and building it per retrieval call
-    (pad + reshape + transpose of the whole bank) costs two bank-sized HBM
-    round trips per call — at HBM-bound bank sizes that erases the entire
-    int8 win (observed: int8 slower than f32 at 512 segments)."""
-    N, D = bank_q.shape
-    if D <= _INT8_DOT_CHUNK:
-        return bank_q[None]  # (1, N, D): single-matmul path, no padding
-    n = -(-D // _INT8_DOT_CHUNK)
-    pad = n * _INT8_DOT_CHUNK - D
-    bq3 = jnp.pad(bank_q, ((0, 0), (0, pad))).reshape(N, n, _INT8_DOT_CHUNK)
-    return jnp.swapaxes(bq3, 0, 1)
-
-
-def retrieve_topk_int8_packed(
-    Z: Array, bank_q3: Array, bank_scale: Array, k: int = 10
+def retrieve_topk_int8(
+    Z: Array, bank_q: Array, bank_scale: Array, k: int = 10
 ) -> Tuple[Array, Array]:
-    """``retrieve_topk`` against a PACKED int8 bank (``pack_int8_bank``):
-    the query is row-quantized to int8 on the fly and the (B, N) similarity
-    runs as int8 x int8 -> int32 matmuls — 4x less bank HBM traffic than f32
-    and the MXU's int8 rate, for ~1e-2 relative score error (per-row
-    symmetric 1/127 quantization of unit-norm vectors). bank_q3:
-    (n_chunks, N, CHUNK) int8; bank_scale: (N,) float32.
+    """``retrieve_topk`` against an int8-quantized bank: the query is
+    row-quantized to int8 on the fly and the (B, N) similarity is ONE
+    bf16-compute matmul over the int8-STORED operands — 4x less bank HBM
+    traffic than f32, for ~1e-2 relative score error (per-row symmetric
+    1/127 quantization of unit-norm vectors). bank_q: (N, D) int8;
+    bank_scale: (N,) float32.
 
-    The contraction is computed in int32 chunks of 2^17 terms accumulated in
-    f32: at flagship D = F*T = 369k a single int32 dot could reach
+    Why bf16 compute instead of an int8 x int8 -> int32 dot: int8-ranged
+    values (and their products) are exact in bf16/f32 — the MXU multiplies
+    bf16 exactly and accumulates in f32, so there is NO int32 overflow at
+    any D (a single int32 dot at flagship D = F*T = 369k could reach
     D * 127^2 ~ 5.9e9 > 2^31 for flat-magnitude rows and wrap negative,
-    silently dropping the true best match from the top-k. Only the QUERY is
-    padded/reshaped per call (batch-sized); the bank arrives pre-packed."""
-    n, N, C = bank_q3.shape
+    which forced an earlier version of this op into 2^17-term chunks with
+    (n, B, N) int32 partials). XLA fuses the int8 -> bf16 convert into the
+    dot's operand read, so the bank never materializes wide in HBM —
+    measured on v5e (tools/ab_int8_retrieval.py, B=256 flagship rows) the
+    unchunked bf16 contraction beats the chunked-int32 path 1.4-1.6x and
+    f32 retrieval at EVERY bank size (1.09x at 512 rows, 1.69x at 2,048,
+    2.08x at 4,096), with identical top-1 ids. f32 accumulation differs
+    from exact integer math by ~1e-7 relative — three orders below the
+    quantization error."""
     z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
     zscale = jnp.maximum(jnp.max(jnp.abs(z), axis=-1, keepdims=True), 1e-8) / 127.0
     zq = jnp.round(z / zscale).astype(jnp.int8)
-    D = zq.shape[1]
-    if n == 1:
-        assert D == C, f"query D={D} != packed bank D={C}"
-        sim_i32f = jnp.matmul(
-            zq, bank_q3[0].T, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-    else:
-        pad = n * C - D
-        zq3 = jnp.pad(zq, ((0, 0), (0, pad))).reshape(-1, n, C)
-        # (n, B, N) int32 per-chunk partials -> f32 sum (zero padding is exact)
-        parts = jax.lax.dot_general(
-            jnp.swapaxes(zq3, 0, 1),
-            bank_q3,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )
-        sim_i32f = jnp.sum(parts.astype(jnp.float32), axis=0)
-    sim = sim_i32f * zscale * bank_scale[None, :]
-    return jax.lax.top_k(sim, min(int(k), N))
-
-
-def retrieve_topk_int8(
-    Z: Array, bank_q: Array, bank_scale: Array, k: int = 10
-) -> Tuple[Array, Array]:
-    """Unpacked-bank convenience wrapper over ``retrieve_topk_int8_packed``
-    (packs (N, D) per call — fine for tests/one-shots; production callers
-    pack once via ``pack_int8_bank``, as ``SpeechDecoder.set_bank`` does)."""
-    return retrieve_topk_int8_packed(Z, pack_int8_bank(bank_q), bank_scale, k=k)
+    sim = jnp.matmul(
+        zq.astype(jnp.bfloat16),
+        bank_q.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    sim = sim * zscale * bank_scale[None, :]
+    return jax.lax.top_k(sim, min(int(k), bank_q.shape[0]))
 
 
 def bank_from_audio(
@@ -374,18 +339,11 @@ class SpeechDecoder:
         self._bank_q = self._bank_scale = self._bank_norm = None
         if store_dtype == "int8":
             # per-row symmetric quantization of the unit-norm rows: 4x less
-            # HBM for the bank and the similarity runs on the MXU's int8
-            # path; PACKED to the chunked (n, N, CHUNK) layout once here so
-            # retrieval never rebuilds a bank-sized temporary per call
-            # (~1e-2 relative score error)
-            bank_q, self._bank_scale = quantize_rows_int8(bank_norm)
-            self._bank_q = pack_int8_bank(bank_q)
-            if scale_sh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                self._bank_q = jax.device_put(
-                    self._bank_q, NamedSharding(mesh, PartitionSpec(None, "data", None))
-                )
+            # HBM for the bank; retrieval contracts the int8-stored rows in
+            # bf16 (see retrieve_topk_int8 — ~1e-2 relative score error)
+            self._bank_q, self._bank_scale = quantize_rows_int8(bank_norm)
+            if rows is not None:
+                self._bank_q = jax.device_put(self._bank_q, rows)
                 self._bank_scale = jax.device_put(self._bank_scale, scale_sh)
         elif store_dtype == "float32":
             self._bank_norm = bank_norm
@@ -404,7 +362,7 @@ class SpeechDecoder:
         dozens of op dispatches per call)."""
         if self._retrieve_jit is None:
             self._retrieve_jit = jax.jit(
-                retrieve_topk_int8_packed
+                retrieve_topk_int8
                 if self._bank_q is not None
                 else retrieve_topk,
                 static_argnames=("k",),
