@@ -290,6 +290,120 @@ def bench_preproc_e2e(n_rec: int = 6, rec_secs: float = 48.0, fused_rate: float 
     }
 
 
+def bench_preproc_e2e_curve(
+    e2e: dict | None,
+    rates_mbps: tuple = (31.0, 62.0, 125.0, 245.0, 260.0, 320.0, 500.0, 1000.0, 2000.0),
+    n_rec: int = 12,
+    rec_secs: float = 48.0,
+    microbatch: int = 2,
+) -> dict | None:
+    """MEASURED (link rate -> e2e MEG-s/s) curve at EMULATED link rates.
+
+    This harness's tunneled host<->device link (~15-30 MB/s) cannot be made
+    faster, so the ">=10x baseline needs >= 245 MB/s" north-star claim was
+    previously closed-form arithmetic (``model_device_e2e``). Here it
+    becomes a measured curve point: the REAL fused device program runs over
+    staged device-resident microbatches while the host paces each
+    microbatch with its int16-uplink + f32-readback byte time at the
+    emulated rate R — the same structure as ``preprocess_batch``'s
+    double-buffered stream (transfers serialize on the link; async
+    dispatch lets compute stream behind them, as DMA overlap does). Wall
+    time = max(total link time, device completion), i.e. the pipelined e2e
+    a link of rate R sustains, with the compute term measured not modeled.
+
+    What the emulation excludes (and the real-link anchor, also reported,
+    includes): disk reads and the host-side int16 quantize — production
+    loaders overlap those across worker threads; this 1-core harness
+    cannot, which is why the anchor sits below the emulated point at the
+    same link rate. [ref: README.md:26 30 min / 20 cores;
+    gwilliams2022.py:298 cache build]"""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_decoding_tpu.ops.brain_preproc import (
+        _pad_filter_resample,
+        _pad_plan,
+    )
+    from speech_decoding_tpu.ops.fir import design_bandpass_fir
+    from speech_decoding_tpu.ops.preproc_dispatch import model_device_e2e
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        C, T = 208, int(rec_secs * 1000)
+        T_out = int(round(T * 0.12))
+        L, plans = _pad_plan([T] * microbatch, align=25)
+        n_out_big = int(round(0.12 * L))
+        taps = jnp.asarray(design_bandpass_fir(1000.0, 1.0, 60.0))
+        plans_t = tuple(tuple(p) for p in plans)
+        n_mb = max(n_rec // microbatch, 1)
+        pool = [
+            jax.random.normal(jax.random.PRNGKey(i), (microbatch, C, T), jnp.float32)
+            for i in range(3)
+        ]
+        jax.block_until_ready(pool)
+
+        @jax.jit
+        def chained(x, carry):
+            y = _pad_filter_resample(
+                taps, plans_t, n_out_big, n_out_big,
+                *[x[j] + carry * 1e-30 for j in range(microbatch)],
+            )
+            return y, y[0, 0, 0]
+
+        _y, carry = chained(pool[0], jnp.float32(0))
+        float(carry)  # warm the compile (value fetch: block_until_ready no-op)
+
+        up_mb = (microbatch * C * T * 2 + microbatch * C * 4) / 1e6  # int16 + scales
+        down_mb = microbatch * C * T_out * 4 / 1e6  # f32 readback
+        total_megs = n_rec * rec_secs
+
+        def run(rate):
+            nonlocal carry
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for i in range(n_mb):
+                    if rate:
+                        time.sleep(up_mb / rate)
+                    _y, carry = chained(pool[i % 3], carry)
+                    if rate:
+                        time.sleep(down_mb / rate)
+                float(carry)  # drains the device queue
+                best = min(best, time.perf_counter() - t0)
+            return total_megs / best
+
+        ceiling = run(0.0)  # no pacing: this program's own compute rate
+        real_link = float((e2e or {}).get("h2d_link_mbps", 0) or 0)
+        pts = sorted({float(r) for r in rates_mbps} | ({round(real_link, 1)} if real_link else set()))
+        curve = {str(r): round(run(r), 1) for r in pts}
+        model = {
+            str(r): round(model_device_e2e(ceiling, r, C, 1000.0, 120.0, "int16"), 1)
+            for r in pts
+        }
+        target = 10 * REFERENCE_PREPROC_MEG_SEC_PER_SEC
+        min_10x = next((r for r in pts if curve[str(r)] >= target), None)
+        out = {
+            "emulated_curve_meg_s_per_s": curve,
+            "model_curve_meg_s_per_s": model,
+            "compute_ceiling_meg_s_per_s": round(ceiling, 1),
+            "min_link_MBps_for_10x_measured": min_10x,
+            "bytes_per_meg_s_MB": round((up_mb + down_mb) / (microbatch * rec_secs), 4),
+        }
+        if real_link and e2e and e2e.get("preproc_e2e_rate_int16"):
+            out["anchor_real_link_MBps"] = round(real_link, 1)
+            out["anchor_real_e2e_int16"] = e2e["preproc_e2e_rate_int16"]
+            out["anchor_emulated_at_real_link"] = curve.get(str(round(real_link, 1)))
+        _log(
+            f"preproc e2e curve (emulated link pacing): {curve} "
+            f"(ceiling {ceiling:.0f} MEG-s/s, min link for 10x: {min_10x} MB/s)"
+        )
+        return out
+    except Exception as e:
+        _log(f"e2e curve bench skipped: {type(e).__name__}: {str(e)[:200]}")
+        return None
+
+
 # bf16 peak FLOPs/s per chip (MXU), for MFU accounting
 _CHIP_PEAK_FLOPS = {
     "TPU v4": 275e12,
@@ -379,10 +493,11 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
     [ref: train.py:259 save-only]; its closest analogue is the eval forward
     (0.96 GB full-test-batch on GPU [ref: train.py:225]).
 
-    Sweeps bank sizes to expose where the int8 bank (4x less HBM, MXU int8
-    rate, PACKED chunk layout precomputed at set_bank) overtakes f32 — at
-    flagship row size (F*T = 369k) a 4096-segment f32 bank is ~5.7 GB, so
-    large banks are HBM-bandwidth-bound and int8 must win there. Sizes that
+    Sweeps bank sizes to expose where the int8 bank (stored int8 in HBM for
+    4x less bank traffic, contracted in ONE bf16-compute matmul — the
+    convert fuses into the dot's operand read) overtakes f32 — at flagship
+    row size (F*T = 369k) a 4096-segment f32 bank is ~5.7 GB, so large
+    banks are HBM-bandwidth-bound and int8 must win there. Sizes that
     exceed this harness's HBM grant are reported as OOM and skipped.
     Returns None off-TPU or on failure."""
     import jax
@@ -391,10 +506,9 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
     from speech_decoding_tpu.data.layout import ch_locations_2d
     from speech_decoding_tpu.inference import (
         SpeechDecoder,
-        pack_int8_bank,
         quantize_rows_int8,
         retrieve_topk,
-        retrieve_topk_int8_packed,
+        retrieve_topk_int8,
     )
     from speech_decoding_tpu.models import BrainEncoder
 
@@ -420,9 +534,9 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
             return scores[0, 0].astype(jnp.float32)
 
         @jax.jit
-        def chained_q(X, sidx, bank_q3, scale, carry):
+        def chained_q(X, sidx, bank_q, scale, carry):
             Z = dec.encode_fn(X + carry.astype(X.dtype) * 1e-30, sidx)
-            scores, _ids = retrieve_topk_int8_packed(Z, bank_q3, scale, 10)
+            scores, _ids = retrieve_topk_int8(Z, bank_q, scale, 10)
             return scores[0, 0].astype(jnp.float32)
 
         def timed(fn, *args):
@@ -447,11 +561,7 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
             lambda b: b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-8),
             donate_argnums=0,
         )
-        def _quant(bn):
-            q, s = quantize_rows_int8(bn)
-            return pack_int8_bank(q), s
-
-        quant_fn = jax.jit(_quant, donate_argnums=0)
+        quant_fn = jax.jit(quantize_rows_int8, donate_argnums=0)
 
         sweep = {}
         crossover = None
@@ -464,9 +574,9 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
                     jax.random.normal(jax.random.PRNGKey(2), (bank_n, F * T), jnp.float32)
                 )
                 best = timed(chained, X, sidx, bank_norm)
-                bank_q3, scale = quant_fn(bank_norm)  # donates/frees bank_norm
-                best_q = timed(chained_q, X, sidx, bank_q3, scale)
-                del bank_q3, scale
+                bank_q, scale = quant_fn(bank_norm)  # donates/frees bank_norm
+                best_q = timed(chained_q, X, sidx, bank_q, scale)
+                del bank_q, scale
                 rate, rate_q = batch / best, batch / best_q
                 sweep[bank_n] = {"f32": round(rate, 1), "int8": round(rate_q, 1)}
                 if crossover is None and rate_q >= rate:
@@ -493,6 +603,145 @@ def bench_serve(batch: int = 256, bank_sweep: tuple = (512, 2048, 4096)) -> dict
         }
     except Exception as e:
         _log(f"serve bench skipped: {e}")
+        return None
+
+
+def bench_serve_latency(
+    concurrency: int = 32,
+    requests_per_client: int = 4,
+    max_batch: int = 64,
+    max_wait_ms: float = 3.0,
+    bank_n: int = 512,
+    stream_windows: int = 128,
+) -> dict | None:
+    """Serving LATENCY (not just throughput): p50/p99 per-request wall time
+    under concurrent single-row load through the MicroBatcher (the
+    production coalescing path, serving.py), plus ``decode_stream`` windowed
+    throughput on a continuous recording. bench_serve measures the batched
+    steady-state rate; this measures what one caller actually waits —
+    coalescing window + dispatch + result fan-out. Each request is 1 row, so
+    rows/dispatch directly exposes how well coalescing amortizes the
+    compiled (max_batch, C, T) program. Returns None off-TPU or on failure.
+
+    The reference has no serving path at all; this benches the subsystem
+    that replaces its interleaved train-loop eval [ref: train.py:211-243].
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_decoding_tpu.data.layout import ch_locations_2d
+    from speech_decoding_tpu.inference import SpeechDecoder
+    from speech_decoding_tpu.models import BrainEncoder
+    from speech_decoding_tpu.serving import MicroBatcher
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        loc = ch_locations_2d("Gwilliams2022", cache=False)
+        enc = BrainEncoder(
+            num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
+            compute_dtype=jnp.bfloat16, use_pallas=True, conv_impl="gemm",
+            channels_last_io=True,
+        )
+        C, T, F = 208, 360, 1024
+        X0 = jax.random.normal(jax.random.PRNGKey(0), (2, T, C), jnp.float32)
+        variables = jax.jit(enc.init)(
+            jax.random.PRNGKey(1), X0, jnp.zeros((2,), jnp.int32)
+        )
+        dec = SpeechDecoder(enc, variables["params"], variables["batch_stats"])
+        # small bank: latency here is the encode+coalesce path, not the
+        # bank contraction (bench_serve sweeps that separately)
+        # set_bank always takes the reference (N, F, T) layout and handles
+        # the channels-last flatten order itself
+        bank = jax.random.normal(
+            jax.random.PRNGKey(2), (bank_n, F, T), jnp.float32
+        )
+        dec.set_bank(bank)
+
+        rng = np.random.default_rng(3)
+        # channels-last encoder: rows are (T, C) — mirror what the encode
+        # program actually consumes (segment_shape keys the batcher's shape
+        # validation, nothing else)
+        row_shape = (T, C) if enc.channels_last_io else (C, T)
+        Xh = rng.normal(size=(max_batch,) + row_shape).astype(np.float32)
+        sidx_h = rng.integers(0, 27, size=max_batch).astype(np.int32)
+        # compile + warm the ONE (max_batch, *row_shape) program the batcher uses
+        for _ in range(3):
+            dec.decode(Xh, sidx_h, k=10)
+
+        mb = MicroBatcher(dec, row_shape, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        lat_ms: list = []
+        lat_lock = threading.Lock()
+
+        def client(j):
+            out = []
+            for r in range(requests_per_client):
+                row = j * requests_per_client + r
+                x = Xh[row % max_batch : row % max_batch + 1]
+                s = sidx_h[row % max_batch : row % max_batch + 1]
+                t0 = time.perf_counter()
+                mb.submit(x, s, k=10)
+                out.append((time.perf_counter() - t0) * 1e3)
+            with lat_lock:
+                lat_ms.extend(out)
+
+        t_all0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=client, args=(j,)) for j in range(concurrency)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_all0
+        n_req = concurrency * requests_per_client
+        rows_per_dispatch = mb.rows / max(mb.dispatches, 1)
+        mb.close()
+        lat = np.sort(np.asarray(lat_ms))
+        p50 = float(np.percentile(lat, 50))
+        p99 = float(np.percentile(lat, 99))
+        _log(
+            f"serve latency: {n_req} 1-row reqs x{concurrency} conc -> "
+            f"p50 {p50:.1f} ms, p99 {p99:.1f} ms, "
+            f"{rows_per_dispatch:.1f} rows/dispatch, {n_req / wall:.0f} req/s"
+        )
+
+        # decode_stream: continuous recording -> windowed batch decoding,
+        # same compiled (max_batch, C, T) program
+        total_t = T * stream_windows
+        rec = rng.normal(size=(total_t, C) if enc.channels_last_io else (C, total_t))
+        rec = rec.astype(np.float32)
+        t0 = time.perf_counter()
+        s, ids, onsets = dec.decode_stream(
+            rec, subject_idx=0, segment_len=T, k=10, batch_size=max_batch
+        )
+        stream_s = time.perf_counter() - t0
+        assert len(onsets) == stream_windows, (len(onsets), stream_windows)
+        stream_rate = stream_windows / stream_s
+        _log(
+            f"decode_stream: {stream_windows} windows in {stream_s:.2f} s "
+            f"({stream_rate:.0f} win/s)"
+        )
+        return {
+            "serve_latency_p50_ms": round(p50, 2),
+            "serve_latency_p99_ms": round(p99, 2),
+            "serve_latency_concurrency": concurrency,
+            "serve_latency_requests": n_req,
+            "serve_latency_rows_per_dispatch": round(rows_per_dispatch, 2),
+            "serve_latency_req_per_sec": round(n_req / wall, 1),
+            "decode_stream_windows_per_sec": round(stream_rate, 1),
+            "decode_stream_windows": stream_windows,
+            "serve_latency_note": (
+                "absolute latency on this harness includes the tunneled "
+                "host<->device roundtrip (~0.4 s/dispatch); rows_per_dispatch "
+                "is the coalescing figure that transfers to real hosts"
+            ),
+        }
+    except Exception as e:
+        _log(f"serve latency bench skipped: {type(e).__name__}: {str(e)[:200]}")
         return None
 
 
@@ -727,10 +976,12 @@ def main():
         return
     compute_rate = bench_preproc()
     e2e = bench_preproc_e2e(fused_rate=compute_rate)
+    e2e_curve = bench_preproc_e2e_curve(e2e)
     train_single, train_scan, mfu_info = bench_train()
     batch_curve = bench_batch_curve()
     w2v_rate = bench_w2v_embed()
     serve = bench_serve()
+    serve_lat = bench_serve_latency()
     # headline = the faster dispatch mode (scan vs single varies by how
     # dispatch-latency-bound the host link is)
     train_seg = max(train_single, train_scan)
@@ -748,9 +999,11 @@ def main():
             "train_segments_per_sec_single_dispatch": round(train_single, 2),
             "platform": platform,
             **e2e,
+            **({"preproc_e2e_curve": e2e_curve} if e2e_curve else {}),
             **{k: v for k, v in mfu_info.items() if v is not None},
             **({"w2v_embed_audio_sec_per_sec": w2v_rate} if w2v_rate else {}),
             **(serve or {}),
+            **(serve_lat or {}),
             **(batch_curve or {}),
             "e2e_note": "preproc_e2e_rate includes disk+host<->device I/O; bounded by h2d_link_mbps on this tunneled harness (real TPU hosts: GB/s DMA)",
         },

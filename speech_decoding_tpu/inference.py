@@ -80,7 +80,7 @@ def retrieve_topk_int8(
     unchunked bf16 contraction beats the chunked-int32 path 1.4-1.6x and
     f32 retrieval at EVERY bank size (1.09x at 512 rows, 1.69x at 2,048,
     2.08x at 4,096), with identical top-1 ids. f32 accumulation differs
-    from exact integer math by ~1e-7 relative — three orders below the
+    from exact integer math by ~1e-7 relative — five orders below the
     quantization error."""
     z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
@@ -358,8 +358,8 @@ class SpeechDecoder:
         """Top-k bank candidates per brain embedding: returns (scores, ids)
         each (B, k). Cosine similarity, reference orientation
         [ref: models.py:226-243]. Jitted once per k (decode_stream calls this
-        per window batch; eager dispatch of the chunked int8 path would cost
-        dozens of op dispatches per call)."""
+        per window batch; eager dispatch would re-trace the quantize +
+        contraction + top_k chain on every call)."""
         if self._retrieve_jit is None:
             self._retrieve_jit = jax.jit(
                 retrieve_topk_int8

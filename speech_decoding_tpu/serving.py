@@ -329,7 +329,7 @@ class DecoderServer:
         if getattr(d, "_bank_norm", None) is not None:
             return int(d._bank_norm.shape[0])
         if getattr(d, "_bank_q", None) is not None:
-            return int(d._bank_q.shape[1])  # packed (n_chunks, N, CHUNK)
+            return int(d._bank_q.shape[0])  # (N, D) int8 rows
         return 0
 
     def start(self) -> "DecoderServer":

@@ -360,36 +360,25 @@ def test_int8_retrieval_no_int32_overflow():
     assert np.all(s[:, 0] > s[:, 1])
 
 
-def test_pack_int8_bank_layout_and_exactness():
-    """pack_int8_bank (done once at set_bank) must be a pure relayout: the
-    packed chunked contraction reproduces brute-force integer math exactly,
-    zero padding included, for both the single-matmul (D <= chunk) and the
-    multi-chunk path."""
-    from speech_decoding_tpu.inference import (
-        _INT8_DOT_CHUNK,
-        pack_int8_bank,
-        quantize_rows_int8,
-        retrieve_topk_int8_packed,
-    )
+def test_retrieve_topk_int8_matches_integer_reference():
+    """The bf16-compute contraction over int8-stored operands must reproduce
+    brute-force int64 integer math: bf16 products of int8-ranged values are
+    exact and the f32 accumulation only rounds at the last bits. Checked at
+    a small D (sums < 2^24: the dot itself is f32-exact) and at a larger
+    ragged D; rtol covers the f32 scale-multiply/summation's ~1e-7 against
+    the float64 numpy reference — the RANKING must match exactly."""
+    from speech_decoding_tpu.inference import quantize_rows_int8, retrieve_topk_int8
 
     rng = np.random.default_rng(7)
-    for D in (96, int(2.5 * _INT8_DOT_CHUNK)):  # below chunk / 3 ragged chunks
+    for D in (96, 5003):
         bank = rng.normal(size=(6, D)).astype(np.float32)
         bank /= np.linalg.norm(bank, axis=1, keepdims=True)
         bank_q, scale = quantize_rows_int8(jnp.asarray(bank))
-        packed = np.asarray(pack_int8_bank(bank_q))
-        n = max(1, -(-D // _INT8_DOT_CHUNK))
-        assert packed.shape == (n, 6, D if n == 1 else _INT8_DOT_CHUNK)
-        # relayout only: unpacking restores the rows (padding is zero)
-        flat = np.moveaxis(packed, 0, 1).reshape(6, -1)
-        np.testing.assert_array_equal(flat[:, :D], np.asarray(bank_q))
-        assert not flat[:, D:].any()
 
         Z = rng.normal(size=(3, D)).astype(np.float32).reshape(3, 1, D)
         s, ids = map(
             np.asarray,
-            retrieve_topk_int8_packed(jnp.asarray(Z), jnp.asarray(packed),
-                                      scale, k=6),
+            retrieve_topk_int8(jnp.asarray(Z), bank_q, scale, k=6),
         )
         # brute-force integer reference for the same quantized operands
         z = Z.reshape(3, D) / np.linalg.norm(Z.reshape(3, D), axis=1, keepdims=True)

@@ -145,6 +145,65 @@ def test_health_stats_and_errors(server):
     assert "must be (B, C, T)" in json.loads(exc.value.read())["error"]
 
 
+def test_concurrent_latency_p99_bounded():
+    """Latency SLO under concurrent single-row load: with a fixed 50 ms
+    dispatch cost, coalescing must keep p99 request latency near a few
+    dispatch windows — NOT the serialized one-dispatch-per-request regime
+    (64 requests x 50 ms = 3.2 s; a p99 above ~1.5 s means rows are being
+    dispatched one at a time). Deterministic twin of bench.py's
+    bench_serve_latency (which measures the same path on the real chip)."""
+    import time
+
+    class _Slow:
+        def decode(self, X, sidx, k=10):
+            time.sleep(0.05)
+            b = X.shape[0]
+            return np.zeros((b, k), np.float32), np.zeros((b, k), np.int32)
+
+    mb = MicroBatcher(_Slow(), (C, T), max_batch=8, max_wait_ms=20.0)
+    lat_ms, lock = [], threading.Lock()
+    X1 = np.zeros((1, C, T), np.float32)
+    s1 = np.zeros(1, np.int32)
+
+    def client():
+        out = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            mb.submit(X1, s1, k=3)
+            out.append((time.perf_counter() - t0) * 1e3)
+        with lock:
+            lat_ms.extend(out)
+
+    threads = [threading.Thread(target=client) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    rows_per_dispatch = mb.rows / max(mb.dispatches, 1)
+    mb.close()
+    p99 = float(np.percentile(np.asarray(lat_ms), 99))
+    assert p99 < 1500.0, f"p99 {p99:.0f} ms — coalescing is not amortizing dispatches"
+    assert rows_per_dispatch >= 3.0, rows_per_dispatch
+
+
+def test_healthz_counts_int8_bank_rows(decoder):
+    """Regression (round-5): the int8 bank became flat (N, D) rows when the
+    packed (n_chunks, N, CHUNK) layout was retired — /healthz must report N
+    (bank segments), not D (~F*T row length)."""
+    dec = SpeechDecoder(
+        decoder.encoder, decoder._variables["params"],
+        decoder._variables["batch_stats"],
+    )
+    bank = np.random.default_rng(11).normal(size=(BANK_N, F, T)).astype(np.float32)
+    dec.set_bank(jnp.asarray(bank), store_dtype="int8")
+    srv = DecoderServer(dec, segment_shape=(C, T), max_batch=4)
+    try:
+        assert srv._bank_segments() == BANK_N
+    finally:
+        srv._httpd.server_close()
+        srv.batcher.close()
+
+
 def test_serve_cli_build_decoder(tmp_path):
     """tools/serve.py's restore path: orbax checkpoint -> decoder -> served
     request matches direct decode (the CLI minus serve_forever)."""

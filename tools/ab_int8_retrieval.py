@@ -1,17 +1,19 @@
 """A/B: int8 serving-bank retrieval contraction strategies on the real chip.
 
-The packed int8 path (inference.retrieve_topk_int8_packed) chunks the
-contraction into 2^17-term int8 x int8 -> int32 dots to dodge int32 overflow
-(flagship D = F*T = 369,408 > 2^31 / 127^2). Measured on v5e the resulting
-win over f32 is ~1.2x at 4,096 segments, far under the 4x HBM-traffic bound.
+Production path (inference.retrieve_topk_int8): store the bank int8 in HBM
+(the 4x-traffic win) but CONVERT TO BF16 inside the dot — bf16 x bf16
+products of int8-ranged values are exact (computed in f32 on the MXU) and
+the f32 accumulation has no overflow, so no chunking and no (n, B, N) int32
+partial round-trip. XLA fuses the int8 -> bf16 convert into the dot's
+operand read (bank stays int8 in HBM).
 
-Candidate: keep the bank stored int8 (the HBM win) but CONVERT TO BF16 inside
-the dot — bf16 x bf16 products of int8-ranged values are exact (computed in
-f32 on the MXU) and the f32 accumulation has no overflow, so no chunking and
-no (n, B, N) int32 partial round-trip. The open question is whether XLA fuses
-the int8 -> bf16 convert into the dot's operand read (bank stays int8 in HBM)
-or materializes a 2x-bank bf16 temp (loses). This script answers it by
-measurement.
+Baseline kept LOCALLY here (it no longer ships in inference.py): the
+chunked path splits the contraction into 2^17-term int8 x int8 -> int32
+dots to dodge int32 overflow (flagship D = F*T = 369,408 could reach
+D * 127^2 ~ 5.9e9 > 2^31 for flat-magnitude rows). Measured on v5e the
+bf16-compute path beats it 1.4-1.6x and beats f32 retrieval at every bank
+size (see inference.retrieve_topk_int8's docstring for the recorded sweep);
+this script re-measures both so the A/B stays reproducible against HEAD.
 
 Methodology per .claude/skills/verify: reps chained through a carry,
 value-fetched at the end (block_until_ready is a no-op on the tunneled
@@ -29,30 +31,48 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 from speech_decoding_tpu.inference import (  # noqa: E402
-    pack_int8_bank,
     quantize_rows_int8,
     retrieve_topk,
-    retrieve_topk_int8_packed,
+    retrieve_topk_int8,
 )
 
 B = 256
 D = 1024 * 360  # flagship F * T: the serving bench's row size
 K = 10
 
+# ---- chunked-int32 baseline (formerly inference.retrieve_topk_int8_packed;
+# retired from the production module after this A/B, kept here verbatim in
+# spirit so the measurement that justified the retirement can be re-run) ----
 
-def retrieve_topk_int8_bf16(Z, bank_q, bank_scale, k: int = 10):
-    """int8-stored bank, bf16-compute contraction (no chunking)."""
+_INT8_DOT_CHUNK = 2**17  # <= 2^31 / 127^2 terms per int32 dot: overflow-free
+
+
+def pack_int8_bank(bank_q: jax.Array) -> jax.Array:
+    """(N, D) int8 -> (n_chunks, N, chunk) int8, zero-padded: the chunked
+    contraction's bank layout, relayout done ONCE at bank-set time."""
+    n_rows, d = bank_q.shape
+    if d <= _INT8_DOT_CHUNK:
+        return bank_q[None]
+    n = -(-d // _INT8_DOT_CHUNK)
+    padded = jnp.pad(bank_q, ((0, 0), (0, n * _INT8_DOT_CHUNK - d)))
+    return jnp.moveaxis(padded.reshape(n_rows, n, _INT8_DOT_CHUNK), 1, 0)
+
+
+def retrieve_topk_int8_packed(Z, bank_q3, bank_scale, k: int = 10):
+    """Chunked int8 x int8 -> int32 retrieval over a pack_int8_bank layout."""
+    n, n_rows, chunk = bank_q3.shape
     z = jnp.reshape(Z.astype(jnp.float32), (Z.shape[0], -1))
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
     zscale = jnp.maximum(jnp.max(jnp.abs(z), axis=-1, keepdims=True), 1e-8) / 127.0
     zq = jnp.round(z / zscale).astype(jnp.int8)
-    sim = jnp.matmul(
-        zq.astype(jnp.bfloat16),
-        bank_q.astype(jnp.bfloat16).T,
-        preferred_element_type=jnp.float32,
+    zq3 = pack_int8_bank(zq) if n > 1 else zq[None]
+    # per-chunk exact int32 dots, f32 cross-chunk accumulation
+    parts = jnp.einsum(
+        "cbd,cnd->cbn", zq3, bank_q3, preferred_element_type=jnp.int32
     )
+    sim = jnp.sum(parts.astype(jnp.float32), axis=0)
     sim = sim * zscale * bank_scale[None, :]
-    return jax.lax.top_k(sim, min(int(k), bank_q.shape[0]))
+    return jax.lax.top_k(sim, min(int(k), n_rows))
 
 
 def timed(fn, *args, reps=20):
@@ -97,7 +117,7 @@ def main():
 
         @jax.jit
         def bf16_step(Zx, bq, sc, carry):
-            s, _ = retrieve_topk_int8_bf16(Zx, bq, sc, K)
+            s, _ = retrieve_topk_int8(Zx, bq, sc, K)
             return jnp.sum(s) * 1e-30 + carry
 
         t_f32 = timed(lambda Zx, bk, c: f32_step(Zx, bk, c), Z, bank)
@@ -112,7 +132,7 @@ def main():
         )
         # agreement check: top-1 ids of bf16 vs chunked variants
         _, ids_a = jax.jit(functools.partial(retrieve_topk_int8_packed, k=K))(Z, q3, scale)
-        _, ids_b = jax.jit(functools.partial(retrieve_topk_int8_bf16, k=K))(Z, q, scale)
+        _, ids_b = jax.jit(functools.partial(retrieve_topk_int8, k=K))(Z, q, scale)
         import numpy as np
 
         agree = float(np.mean(np.asarray(ids_a[:, 0]) == np.asarray(ids_b[:, 0])))
