@@ -944,6 +944,31 @@ def _error_json(error: str) -> str:
     )
 
 
+def _read_scale_run_artifact(max_age_days: float = 14.0) -> dict | None:
+    """Pick up tools/scale_run.py's learning-dynamics artifact if fresh.
+
+    scale_run drives the REAL Trainer at flagship width on a held-out
+    synthetic-learnable world and records held-out top-10 vs chance (VERDICT
+    r4 item 4); bench itself only measures step mechanics, so the dynamics
+    evidence rides along from the artifact rather than re-running ~10 min of
+    training inside every bench invocation."""
+    return _read_artifact("scale_run_artifact.json", max_age_days)
+
+
+def _read_artifact(name: str, max_age_days: float = 14.0) -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+    try:
+        age_days = (time.time() - os.path.getmtime(path)) / 86400.0
+        with open(path) as f:
+            art = json.load(f)
+        art["artifact_age_days"] = round(age_days, 2)
+        if age_days > max_age_days:
+            art["stale"] = True
+        return art
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     # bounded wait for the device backend before importing jax in-process
     # (BENCH_WAIT_DEVICE_S env, default 10 min): a hung tunnel would
@@ -977,6 +1002,8 @@ def main():
     compute_rate = bench_preproc()
     e2e = bench_preproc_e2e(fused_rate=compute_rate)
     e2e_curve = bench_preproc_e2e_curve(e2e)
+    scale_art = _read_scale_run_artifact()
+    roofline_art = _read_artifact("roofline_artifact.json")
     train_single, train_scan, mfu_info = bench_train()
     batch_curve = bench_batch_curve()
     w2v_rate = bench_w2v_embed()
@@ -1005,6 +1032,8 @@ def main():
             **(serve or {}),
             **(serve_lat or {}),
             **(batch_curve or {}),
+            **({"scale_run": scale_art} if scale_art else {}),
+            **({"roofline": roofline_art} if roofline_art else {}),
             "e2e_note": "preproc_e2e_rate includes disk+host<->device I/O; bounded by h2d_link_mbps on this tunneled harness (real TPU hosts: GB/s DMA)",
         },
     }

@@ -339,8 +339,8 @@ def test_speech_decoder_sharded_int8_bank(mesh, rng):
     s_ref, i_ref = dec.decode(X, np.zeros(B, np.int32), k=5)
 
     dec.set_bank(jnp.asarray(bank), mesh=mesh, store_dtype="int8")
-    # packed layout (n_chunks, N, CHUNK): rows shard along the bank axis
-    assert dec._bank_q.sharding == NamedSharding(mesh, P(None, "data", None))
+    # flat (N, D) int8 bank: rows shard along the bank axis, D unsharded
+    assert dec._bank_q.sharding == NamedSharding(mesh, P("data", None))
     assert dec._bank_scale.sharding == NamedSharding(mesh, P("data"))
     s_sh, i_sh = dec.decode(X, np.zeros(B, np.int32), k=5)
     np.testing.assert_array_equal(i_sh, i_ref)

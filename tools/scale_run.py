@@ -104,12 +104,38 @@ def main():
         trainer.run_epoch(ep, batches, test_batch)
     dt = time.time() - t0
     hist = trainer.history
+    steady = float(np.median([h["train_segments_per_sec"] for h in hist[1:]] or [0]))
     print(
         f"scale run: {epochs} epochs x {updates} updates B={B} in {dt:.0f}s | "
         f"testTop10 {hist[0]['testTop10acc']:.3f} -> {hist[-1]['testTop10acc']:.3f} "
         f"(chance {10 / N_TEST:.3f}) | "
-        f"steady seg/s {np.median([h['train_segments_per_sec'] for h in hist[1:]] or [0]):.0f}"
+        f"steady seg/s {steady:.0f}"
     )
+    # artifact for bench.py extras (VERDICT r4 item 4: the round's learning-
+    # dynamics evidence travels in the bench JSON, not just prose)
+    import json
+
+    artifact = {
+        "epochs": epochs,
+        "updates_per_epoch": updates,
+        "batch": B,
+        "flagship": {"D1": 270, "D2": 320, "F": F, "K": 32, "C": C, "T": T},
+        "testTop10_first_epoch": round(float(hist[0]["testTop10acc"]), 4),
+        "testTop10_last_epoch": round(float(hist[-1]["testTop10acc"]), 4),
+        "chance_top10": round(10 / N_TEST, 4),
+        "steady_segments_per_sec": round(steady, 1),
+        "wall_s": round(dt, 1),
+        "device": str(getattr(jax.devices()[0], "device_kind", jax.default_backend())),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "world": "synthetic learnable Y=tanh(XA), held-out test pool",
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scale_run_artifact.json",
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"artifact -> {path}")
 
 
 if __name__ == "__main__":
