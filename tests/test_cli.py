@@ -36,6 +36,7 @@ def w2v():
     return fixtures.tiny_wav2vec()
 
 
+@pytest.mark.slow  # fast twins: test_gwilliams_cli_and_resume (CLI e2e), test_data Brennan build
 def test_brennan_cli_end_to_end(tmp_path, w2v):
     root = str(tmp_path)
     fixtures.make_brennan_tree(root, eeg_secs=30.0, audio_secs=30.0)
@@ -122,6 +123,7 @@ def test_gwilliams_cli_and_resume(tmp_path, w2v):
     assert os.listdir(os.path.join(run_dirs[0], "checkpoints"))
 
 
+@pytest.mark.slow  # fast twins: test_gwilliams_cli_and_resume + test_data device-resident units
 def test_gwilliams_device_resident(tmp_path, w2v):
     """Full CLI run with the device-resident data path (indices-only steps)."""
     root = str(tmp_path)
@@ -157,6 +159,7 @@ def test_gwilliams_device_resident(tmp_path, w2v):
     assert out["testTop10acc"] == pytest.approx(hist[-1]["testTop10acc"], abs=1e-6)
 
 
+@pytest.mark.slow  # fast twin: test_train.py::test_preemption_mid_epoch_checkpoint
 def test_preemption_drill_and_resume(tmp_path, w2v):
     """Fault-injection drill through the CLI: tpu.preempt_after_steps
     self-delivers a real SIGTERM mid-epoch; the run checkpoints, exits

@@ -64,6 +64,7 @@ class TestFusedTrainForward:
                         err_msg=f"{blk}/{bn}/{leaf}",
                     )
 
+    @pytest.mark.slow  # fast twin: test_fused_step_matches_xla_step[True] draws the same stream
     def test_spatial_dropout_matches_flax_exactly(self):
         """Nonzero d_drop: the fused path draws the SAME drop center as
         encoder.apply (the SubjectBlock runs through the encoder scope, so
@@ -95,6 +96,7 @@ class TestFusedTrainForward:
 
 
 class TestFusedTrainGrads:
+    @pytest.mark.slow  # fast twin: test_fused_step_matches_xla_step[True] (grads via the full step)
     def test_grads_match_flax(self):
         enc, variables, X, sidx = _setup()
         key = jax.random.PRNGKey(3)
@@ -175,6 +177,7 @@ class TestFusedTrainSharded:
                         rtol=1e-4, atol=1e-6, err_msg=f"{blk}/{bn}/{leaf}",
                     )
 
+    @pytest.mark.slow  # fast twin: test_sharded_matches_flax_global (fwd+stats on the mesh)
     def test_sharded_grads_match_flax_global(self):
         mesh = self._mesh()
         from speech_decoding_tpu.models.fused_train import (
@@ -221,7 +224,10 @@ class TestFusedTrainStepIntegration:
     with and without fused_mesh must track the XLA step's loss/metrics and
     parameter updates."""
 
-    @pytest.mark.parametrize("with_mesh", [False, True])
+    @pytest.mark.parametrize(
+        "with_mesh",
+        [pytest.param(False, marks=pytest.mark.slow), True],  # [True] covers both paths per dispatch
+    )
     def test_fused_step_matches_xla_step(self, with_mesh):
         from speech_decoding_tpu.parallel.mesh import make_mesh
         from speech_decoding_tpu.training import create_train_state, make_train_step

@@ -215,6 +215,7 @@ def test_conv_impl_gemm_matches_xla(loc_module=None):
     )
 
 
+@pytest.mark.slow  # gemm_wide is a documented-negative non-default impl; fast twin: test_conv_impl_gemm_matches_xla
 def test_conv_impl_gemm_wide_grad_parity():
     """gemm and gemm_wide must also match in the backward pass (same loss
     grads as the xla lowering), exercising every dilation in the 5-block

@@ -202,6 +202,7 @@ class TestDatasetBackendWiring:
     """tpu.preproc_backend routes the dataset cache builds; host and device
     builds must produce equivalent recordings (exact-grid numerics)."""
 
+    @pytest.mark.slow  # fast twin: test_auto_route_transfer_dtype_derivation (same wiring, lighter)
     def test_gwilliams_host_backend_matches_exact_device(self, tmp_path):
         import fixtures
         from speech_decoding_tpu.data.gwilliams2022 import Gwilliams2022ShallowSplit

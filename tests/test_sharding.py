@@ -88,6 +88,7 @@ def test_train_step_with_sharded_batch(mesh):
     assert abs(float(m_dense["top10"]) - float(m_shard["top10"])) < 1e-6
 
 
+@pytest.mark.slow  # fast twins: test_train_step_with_sharded_batch (DP) + dryrun leg dp4xtp2
 def test_tp_train_steps_match_replicated(mesh):
     """Numerical TP proof: k train steps on a (data=4, model=2) mesh with
     params sharded over "model" by parallel.sharding_rules.param_shardings

@@ -5,6 +5,7 @@ every k batches."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_decoding_tpu.data.layout import ch_locations_2d
 from speech_decoding_tpu.models import BrainEncoder
@@ -141,6 +142,7 @@ def test_scan_steps_match_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0.02)
 
 
+@pytest.mark.slow  # fast twin: test_scan_steps_match_single_steps
 def test_trainer_scan_mode_epoch():
     """Trainer with tpu.scan_steps=2 over 5 batches: 2 scanned groups + 1
     single remainder; 5 optimizer steps total, 5 metric entries."""

@@ -94,6 +94,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(pr), np.asarray(p0))
 
 
+@pytest.mark.slow  # fast twin: test_checkpoint_roundtrip
 def test_checkpoint_best_tracking(tmp_path):
     """track_metric keeps the best-metric checkpoint independently of the
     rolling latest (restore(best=True) returns the peak epoch's state)."""
