@@ -252,6 +252,15 @@ class Conv1d(nn.Module):
             # (XLA's transpose re-forms a convolution and its TPU emitter
             # collapses at some batch sizes — see _gemm_conv_bwd)
             y = _gemm_conv(x, kernel.astype(dt), self.dilation)
+        elif self.impl == "pallas_taps" and k > 1:
+            # ONE fused Pallas kernel per conv: all 3 taps computed while the
+            # x row-block is VMEM-resident (x read once, y written once;
+            # fused dW twin in backward) — lifts the per-tap GEMM off the
+            # HBM-bandwidth roof (see ops/pallas/tap_conv.py)
+            from speech_decoding_tpu.ops.pallas.tap_conv import pallas_tap_conv
+
+            interpret = jax.default_backend() != "tpu"
+            y = pallas_tap_conv(x, kernel.astype(dt), self.dilation, interpret)
         elif self.impl == "gemm_wide" and k > 1:
             # ONE (B·T, Cin)x(Cin, k·Cout) GEMM for all k taps, then k
             # shifted-slice adds (fused elementwise). Lane economics on the
@@ -273,7 +282,7 @@ class Conv1d(nn.Module):
             for j in range(k):
                 yj = jax.lax.dynamic_slice_in_dim(zp[..., j, :], j * d, T, axis=-2)
                 y = yj if y is None else y + yj
-        elif k == 1 and self.impl in ("gemm", "gemm_wide"):
+        elif k == 1 and self.impl in ("gemm", "gemm_wide", "pallas_taps"):
             # 1x1 convs lower to one flattened 2-D GEMM (see _flat_matmul:
             # conv_general_dilated at B=128 picks batch-in-lanes layouts and
             # poisons the whole program); autodiff of a 2-D dot is 2-D dots,

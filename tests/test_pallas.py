@@ -103,3 +103,91 @@ class TestFusedConvBlock:
             np.asarray(fused), np.asarray(hx), rtol=1e-5, atol=1e-6
         )
 
+
+
+class TestTapConv:
+    """Fused 3-tap dilated conv kernel (ops/pallas/tap_conv.py) vs the
+    'gemm' tap-GEMM formulation it accelerates [ref: models.py:128-150]."""
+
+    @pytest.mark.parametrize("dilation", [1, 2, 4, 8])
+    def test_forward_matches_gemm_taps(self, rng, dilation):
+        from speech_decoding_tpu.models.brain_encoder import _gemm_conv_taps
+        from speech_decoding_tpu.ops.pallas.tap_conv import tap_conv
+
+        B, T, Cin, Cout = 4, 24, 12, 10
+        x = jnp.asarray(rng.normal(size=(B, T, Cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, Cin, Cout)).astype(np.float32) * 0.2)
+        ref = _gemm_conv_taps(x, w, dilation)
+        got = tap_conv(x, w, dilation, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_forward_odd_batch_blocking(self, rng):
+        from speech_decoding_tpu.models.brain_encoder import _gemm_conv_taps
+        from speech_decoding_tpu.ops.pallas.tap_conv import tap_conv
+
+        x = jnp.asarray(rng.normal(size=(3, 16, 8)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 8, 6)).astype(np.float32))
+        ref = _gemm_conv_taps(x, w, 2)
+        got = tap_conv(x, w, 2, interpret=True)  # B=3 falls back to bb=1
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("dilation", [1, 4])
+    def test_grads_match_gemm_conv(self, rng, dilation):
+        """vjp of the fused kernel (pallas dx + fused-dW reduction) vs the
+        custom-VJP tap-GEMM conv's autodiff."""
+        from speech_decoding_tpu.models.brain_encoder import _gemm_conv
+        from speech_decoding_tpu.ops.pallas.tap_conv import pallas_tap_conv
+
+        B, T, Cin, Cout = 4, 24, 12, 10
+        x = jnp.asarray(rng.normal(size=(B, T, Cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, Cin, Cout)).astype(np.float32) * 0.2)
+        gy = jnp.asarray(rng.normal(size=(B, T, Cout)).astype(np.float32))
+
+        _, vjp_ref = jax.vjp(lambda x, w: _gemm_conv(x, w, dilation), x, w)
+        dx_ref, dw_ref = vjp_ref(gy)
+        _, vjp_got = jax.vjp(
+            lambda x, w: pallas_tap_conv(x, w, dilation, True), x, w
+        )
+        dx_got, dw_got = vjp_got(gy)
+        np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_ref), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref), rtol=1e-5, atol=1e-5)
+
+    def test_encoder_conv_impl_pallas_taps(self, rng):
+        """BrainEncoder(conv_impl='pallas_taps') forward+grads match the
+        'gemm' impl on the same params (interpret mode off-TPU)."""
+        from speech_decoding_tpu.data.layout import ch_locations_2d
+        from speech_decoding_tpu.models import BrainEncoder, clip_loss
+
+        loc = ch_locations_2d("Gwilliams2022", cache=False)
+        kw = dict(num_subjects=2, loc=loc, D1=16, D2=24, F=32, K=4,
+                  channels_last_io=True)
+        enc_g = BrainEncoder(conv_impl="gemm", **kw)
+        enc_p = BrainEncoder(conv_impl="pallas_taps", **kw)
+        X = rng.normal(size=(4, 48, 208)).astype(np.float32)
+        sidx = np.zeros(4, np.int32)
+        v = enc_g.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            X, sidx, train=False,
+        )
+        Y = rng.normal(size=(4, 48, 32)).astype(np.float32)
+
+        def loss_of(enc):
+            def f(params):
+                Z, _ = enc.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    X, sidx, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(2)},
+                )
+                return clip_loss(jnp.asarray(Y), Z, jnp.float32(1.0))
+            return jax.value_and_grad(f)(v["params"])
+
+        lg, gg = loss_of(enc_g)
+        lp, gp = loss_of(enc_p)
+        assert abs(float(lg) - float(lp)) < 1e-5
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(gg)[0], jax.tree.leaves(gp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )

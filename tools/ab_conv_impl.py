@@ -6,9 +6,12 @@ forced timing via tools/probe_lane_padding.time_step).
               lane-padding waste);
 'gemm_wide' = ONE 960-lane GEMM per conv (7.5->8 tiles, ~6% waste; the GLU
               conv's 1920 lanes are exact) + fused shifted-slice adds;
-'xla'       = lax.conv_general_dilated.
+'xla'       = lax.conv_general_dilated;
+'pallas_taps' = ONE fused Pallas kernel per conv: all 3 taps computed while
+              the x row-block is VMEM-resident (x read once, y written once;
+              fused dW reduction in backward) — see ops/pallas/tap_conv.py.
 
-    python tools/ab_conv_impl.py [batch_size]
+    python tools/ab_conv_impl.py [batch_size] [impl,impl,...]
 """
 
 import os
@@ -22,7 +25,9 @@ from probe_lane_padding import time_step  # noqa: E402
 def main():
     bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     base = None
-    for impl in ("gemm", "gemm_wide", "xla"):
+    impls = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+        "gemm", "pallas_taps", "gemm_wide", "xla")
+    for impl in impls:
         dt, flops = time_step(270, 320, bsz, conv_impl=impl)
         ms = dt * 1e3
         note = ""
