@@ -139,9 +139,13 @@ def tap_conv_dw(
     g: Array,
     dilation: int,
     interpret: bool = False,
-    block_b: int = 8,
+    block_b: int = 4,
 ) -> Array:
     """All three dW taps in one pass: x and g each read ONCE from HBM.
+
+    block_b=4 keeps the flagship worst case (Cin=320, Cout=640: 5.5 MB of
+    x+g per step) inside VMEM with Mosaic's input double-buffering plus the
+    2.5 MB f32 accumulator.
 
     x: (B, T, Cin); g: (B, T, Cout) — the conv's output cotangent.
     Returns (3, Cin, Cout) float32 (accumulated exactly; cast at the caller).
