@@ -119,11 +119,14 @@ def _tap_conv_dw_kernel(x_ref, g_ref, out_ref, *, dilation: int):
     g = g_ref[...]
 
     def contract(xs, gs):
-        # Σ_{b,t} xs[b,t,:]^T gs[b,t,:] -> (Cin, Cout)
+        # Σ_{b,t} xs[b,t,:]^T gs[b,t,:] -> (Cin, Cout). Mosaic's tpu.matmul
+        # only takes a single contracting dim, so collapse (b, t) first
+        # (leading-dim merge keeps the lane-major layout).
+        r = xs.shape[0] * xs.shape[1]
         return jax.lax.dot_general(
-            xs,
-            gs,
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            xs.reshape(r, xs.shape[2]),
+            gs.reshape(r, gs.shape[2]),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 

@@ -55,29 +55,43 @@ def timed_scan(make_body, operands, reps: int = 24, passes: int = 3) -> float:
     All reps run INSIDE one jit via lax.scan chained through the carry — one
     dispatch per timed pass, so the tunneled backend's per-call overhead
     cannot pollute microsecond-scale kernels — and the final scalar fetch
-    forces the chain (block_until_ready is a no-op here). Bodies must place a
+    forces the chain (block_until_ready is a no-op here). The tunnel's
+    dispatch+fetch round trip is a CONSTANT per pass, so the per-rep time is
+    the DIFFERENCE between a ``4*reps``-length and a ``reps``-length scan
+    (best-of-``passes`` each), which cancels it exactly. Bodies must place a
     ``jax.lax.optimization_barrier`` before reducing to the carry scalar so
     XLA cannot slice away the full computation. Operands are jit ARGUMENTS
     (closure constants get embedded in the uploaded program — env notes)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    @jax.jit
-    def run(ops, carry):
+    @partial(jax.jit, static_argnames=("length",))
+    def run(ops, carry, length):
         def body(c, _):
             return make_body(ops, c), None
-        c, _ = jax.lax.scan(body, carry, None, length=reps)
+        c, _ = jax.lax.scan(body, carry, None, length=length)
         return c
 
-    c = run(operands, jnp.float32(0))
-    float(c)  # compile + warm
-    best = float("inf")
+    lo, hi = reps, 4 * reps
+    c = run(operands, jnp.float32(0), lo)
+    float(c)
+    c = run(operands, c, hi)
+    float(c)  # both compiled + warm
+    best_lo = best_hi = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
-        c = run(operands, c)
+        c = run(operands, c, lo)
         float(c)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        c = run(operands, c, hi)
+        float(c)
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    d = best_hi - best_lo
+    if d <= 0:  # overhead-dominated jitter; fall back to the long pass
+        return best_hi / hi
+    return d / (hi - lo)
 
 
 def _force_scalar(y):
@@ -90,7 +104,7 @@ def _force_scalar(y):
     return y.reshape(-1)[0].astype(jnp.float32)
 
 
-def measure_gemm(M: int, K: int, N: int, dtype, reps: int = 24) -> float:
+def measure_gemm(M: int, K: int, N: int, dtype, reps: int = 160) -> float:
     """Achieved TFLOP/s of a (M,K)x(K,N) GEMM in `dtype` (f32 accumulate)."""
     import jax
     import jax.numpy as jnp
@@ -106,7 +120,7 @@ def measure_gemm(M: int, K: int, N: int, dtype, reps: int = 24) -> float:
     return 2.0 * M * K * N / dt / 1e12
 
 
-def measure_batched_gemm(B: int, M: int, K: int, N: int, dtype) -> float:
+def measure_batched_gemm(B: int, M: int, K: int, N: int, dtype, reps: int = 160) -> float:
     """Achieved TFLOP/s of a gathered batched matmul (the subject layer form:
     einsum('bti,bio->bto') over W[subject_idxs])."""
     import jax
@@ -126,7 +140,7 @@ def measure_batched_gemm(B: int, M: int, K: int, N: int, dtype) -> float:
         )
         return _force_scalar(y)
 
-    dt = timed_scan(body, (x, W, sidx))
+    dt = timed_scan(body, (x, W, sidx), reps=reps)
     return 2.0 * B * M * K * N / dt / 1e12
 
 
@@ -143,7 +157,7 @@ def measure_hbm_bw(mb: int = 256) -> float:
         a, b = ops
         return _force_scalar(a + b + carry.astype(a.dtype) * 1e-30)
 
-    dt = timed_scan(body, (a, b), reps=12)
+    dt = timed_scan(body, (a, b), reps=24)
     return 3.0 * n * 2 / dt / 1e9
 
 
@@ -243,7 +257,7 @@ def main() -> None:
 
     # 1. achieved peak + bandwidth
     log("measuring achieved peak GEMM (4096^3 bf16)")
-    peak_meas = measure_gemm(4096, 4096, 4096, jnp.bfloat16, reps=12)
+    peak_meas = measure_gemm(4096, 4096, 4096, jnp.bfloat16, reps=24)
     bw = measure_hbm_bw()
     peak_datasheet = (_chip_peak_flops(dev) or 0) / 1e12
     out["peak_measured_tflops"] = round(peak_meas, 1)
