@@ -120,15 +120,19 @@ def _tap_conv_dw_kernel(x_ref, g_ref, out_ref, *, dilation: int):
 
     def contract(xs, gs):
         # Σ_{b,t} xs[b,t,:]^T gs[b,t,:] -> (Cin, Cout). Mosaic's tpu.matmul
-        # only takes a single contracting dim, so collapse (b, t) first
-        # (leading-dim merge keeps the lane-major layout).
-        r = xs.shape[0] * xs.shape[1]
-        return jax.lax.dot_general(
-            xs.reshape(r, xs.shape[2]),
-            gs.reshape(r, gs.shape[2]),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # takes a single contracting dim and its reshape pass rejects odd
+        # row-collapses in bf16, so contract each (static) batch row with a
+        # 2-D dot and sum — BB extra MXU launches, same math.
+        acc = None
+        for b in range(xs.shape[0]):
+            p = jax.lax.dot_general(
+                xs[b],
+                gs[b],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
+        return acc
 
     # tap j: dW_j = Σ_t x[t+(j-1)d]^T g[t]  (valid rows only; pad rows are 0)
     out_ref[0] += contract(x[:, : T - d, :], g[:, d:, :])
