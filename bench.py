@@ -443,7 +443,10 @@ def build_flagship_step(fused: bool = False, batch_size: int = 64):
         num_subjects=27, loc=loc, D1=270, D2=320, F=1024, K=32,
         compute_dtype=jnp.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
-        conv_impl="gemm",
+        # gemm fwd/dx (XLA fuses the surrounding elementwise into them) +
+        # fused Pallas 3-tap dW reduction (ops/pallas/tap_conv.py; isolated
+        # 1.44x, ~1% end-to-end, interleaved A/B tools/ab_conv_impl.py r5)
+        conv_impl="gemm_pdw" if jax.default_backend() == "tpu" else "gemm",
         channels_last_io=True,
     )
     B, C, T, F = batch_size, 208, 360, 1024

@@ -159,16 +159,16 @@ def _gemm_conv_taps(x: Array, kernel: Array, dilation: int) -> Array:
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gemm_conv(x: Array, kernel: Array, dilation: int) -> Array:
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gemm_conv(x: Array, kernel: Array, dilation: int, pallas_dw: bool = False) -> Array:
     return _gemm_conv_taps(x, kernel, dilation)
 
 
-def _gemm_conv_fwd(x, kernel, dilation):
+def _gemm_conv_fwd(x, kernel, dilation, pallas_dw):
     return _gemm_conv_taps(x, kernel, dilation), (x, kernel)
 
 
-def _gemm_conv_bwd(dilation, res, g):
+def _gemm_conv_bwd(dilation, pallas_dw, res, g):
     """Hand-written transpose of the tap-GEMM conv, as tap GEMMs.
 
     XLA's autodiff transpose of the forward pattern-matches into an actual
@@ -192,14 +192,28 @@ def _gemm_conv_bwd(dilation, res, g):
     gf = g.reshape(B * T, Cout)
     dk_taps = []
     dx = None
+    # dW via the fused Pallas reduction when requested (impl='gemm_pdw'): all
+    # three taps computed while x and g are VMEM-resident — x/g read ONCE
+    # instead of once per tap. The tall-contraction dW GEMMs are the one
+    # place tap fusion wins (measured v5e, (64,360,320)->320 d=2: 147.6 us
+    # for 3 einsum taps vs 102.7 us fused = 1.44x); fwd/dx stay XLA GEMMs so
+    # the surrounding bias/BN/GELU elementwise keeps fusing into them (a
+    # full pallas_taps conv measured 2% SLOWER end-to-end for exactly that
+    # reason — the pallas_call boundary blocks operand/epilogue fusion).
+    use_pdw = pallas_dw and k == 3 and jax.default_backend() == "tpu"
+    if use_pdw:
+        from speech_decoding_tpu.ops.pallas.tap_conv import tap_conv_dw
+
+        dk = tap_conv_dw(x, g, dilation).astype(g.dtype)
     for j in range(k):
-        xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=-2)
-        dk_taps.append(
-            jnp.einsum(
-                "nc,nf->cf", xj.reshape(B * T, Cin), gf,
-                preferred_element_type=g.dtype,
+        if not use_pdw:
+            xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=-2)
+            dk_taps.append(
+                jnp.einsum(
+                    "nc,nf->cf", xj.reshape(B * T, Cin), gf,
+                    preferred_element_type=g.dtype,
+                )
             )
-        )
         hj = jnp.einsum(
             "nf,cf->nc", gf, kernel[j], preferred_element_type=g.dtype
         ).reshape(B, T, Cin)
@@ -208,7 +222,7 @@ def _gemm_conv_bwd(dilation, res, g):
             hjp, 2 * p - j * dilation, T, axis=-2
         )
         dx = dxj if dx is None else dx + dxj
-    return dx, jnp.stack(dk_taps)
+    return dx, (dk if use_pdw else jnp.stack(dk_taps))
 
 
 _gemm_conv.defvjp(_gemm_conv_fwd, _gemm_conv_bwd)
@@ -246,12 +260,16 @@ class Conv1d(nn.Module):
         dt = self.compute_dtype
         x = x.astype(dt)
         k = self.kernel_size
-        if self.impl == "gemm" and k > 1:
+        if self.impl in ("gemm", "gemm_pdw") and k > 1:
             assert k % 2 == 1, "gemm impl assumes odd kernels ('SAME' centering)"
             # custom VJP: keeps the BACKWARD pass on the dense-GEMM path too
             # (XLA's transpose re-forms a convolution and its TPU emitter
-            # collapses at some batch sizes — see _gemm_conv_bwd)
-            y = _gemm_conv(x, kernel.astype(dt), self.dilation)
+            # collapses at some batch sizes — see _gemm_conv_bwd).
+            # 'gemm_pdw' additionally routes dW through the fused Pallas
+            # 3-tap reduction (x/g read once; measured 1.44x on v5e).
+            y = _gemm_conv(
+                x, kernel.astype(dt), self.dilation, self.impl == "gemm_pdw"
+            )
         elif self.impl == "pallas_taps" and k > 1:
             # ONE fused Pallas kernel per conv: all 3 taps computed while the
             # x row-block is VMEM-resident (x read once, y written once;
@@ -282,7 +300,7 @@ class Conv1d(nn.Module):
             for j in range(k):
                 yj = jax.lax.dynamic_slice_in_dim(zp[..., j, :], j * d, T, axis=-2)
                 y = yj if y is None else y + yj
-        elif k == 1 and self.impl in ("gemm", "gemm_wide", "pallas_taps"):
+        elif k == 1 and self.impl in ("gemm", "gemm_pdw", "gemm_wide", "pallas_taps"):
             # 1x1 convs lower to one flattened 2-D GEMM (see _flat_matmul:
             # conv_general_dilated at B=128 picks batch-in-lanes layouts and
             # poisons the whole program); autodiff of a 2-D dot is 2-D dots,

@@ -191,3 +191,18 @@ class TestTapConv:
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+    def test_gemm_pdw_plumbing_matches_gemm(self, rng):
+        """conv_impl='gemm_pdw' (fused Pallas dW on TPU; einsum fallback
+        elsewhere) produces the same grads as 'gemm' — off-TPU this pins the
+        plumbing; the TPU-path numeric parity is covered by the kernel tests
+        above plus the on-chip A/B (tools/ab_conv_impl.py)."""
+        from speech_decoding_tpu.models.brain_encoder import _gemm_conv
+
+        x = jnp.asarray(rng.normal(size=(4, 24, 12)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 12, 10)).astype(np.float32) * 0.2)
+        gy = jnp.asarray(rng.normal(size=(4, 24, 10)).astype(np.float32))
+        _, v0 = jax.vjp(lambda x, w: _gemm_conv(x, w, 2, False), x, w)
+        _, v1 = jax.vjp(lambda x, w: _gemm_conv(x, w, 2, True), x, w)
+        for a, b in zip(v0(gy), v1(gy)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)

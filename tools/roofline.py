@@ -275,6 +275,27 @@ def main() -> None:
             r = measure_gemm(M, K, N, jnp.bfloat16)
         rates[cls] = r
         log(f"  {cls:9s} {str(shape):24s} {r:7.1f} TF/s ({100 * r / peak_meas:.0f}% of peak)")
+
+    # the flagship step (conv_impl='gemm_pdw') computes conv dW via the fused
+    # Pallas 3-tap reduction, not per-tap einsum GEMMs — measure THAT rate
+    # for the dW classes so the floor reflects what the step actually runs
+    if jax.default_backend() == "tpu":
+        from speech_decoding_tpu.ops.pallas.tap_conv import tap_conv_dw
+
+        for cls, cout in (("dW_tapA", 320), ("dW_tapB", 640)):
+            x = jax.random.normal(jax.random.PRNGKey(0), (64, 360, 320), jnp.float32).astype(jnp.bfloat16)
+            g = jax.random.normal(jax.random.PRNGKey(1), (64, 360, cout), jnp.float32).astype(jnp.bfloat16)
+
+            def body(ops, carry):
+                x, g = ops
+                y = tap_conv_dw(x + carry.astype(x.dtype) * 1e-30, g, 2)
+                return _force_scalar(y)
+
+            dt = timed_scan(body, (x, g), reps=96)
+            r = 2.0 * 3 * 64 * 360 * 320 * cout / dt / 1e12
+            rates[cls + "_einsum"] = rates[cls]
+            rates[cls] = r
+            log(f"  {cls:9s} fused-pallas-dW          {r:7.1f} TF/s (einsum taps: {rates[cls + '_einsum']:.1f})")
     out["class_rates_tflops"] = {k: round(v, 1) for k, v in rates.items()}
 
     # 3. inventory -> GEMM floor

@@ -74,7 +74,7 @@ def main():
             "epochs": epochs,
             "tpu": {
                 "compute_dtype": "bfloat16",
-                "conv_impl": "gemm",
+                "conv_impl": "gemm_pdw",
                 "channels_last_io": True,
                 "scan_steps": 8,
             },
@@ -85,7 +85,8 @@ def main():
         num_subjects=S, loc=loc, D1=270, D2=320, F=F, K=32,
         compute_dtype=jax.numpy.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
-        conv_impl="gemm", channels_last_io=True,
+        conv_impl="gemm_pdw" if jax.default_backend() == "tpu" else "gemm",
+        channels_last_io=True,
     )
 
     first = make_batch(list(range(B)))
