@@ -339,25 +339,34 @@ def main() -> None:
     log(f"measured step: {t_step * 1e3:.2f} ms"
         + (f" | compiler: {step_flops / 1e9:.0f} GF, {step_bytes / 1e6:.0f} MB accessed" if step_flops else ""))
 
-    # 5. the verdict
+    # 5. the verdict. Note the logical elementwise bytes the compiler counts
+    # (bytes accessed - GEMM bytes) are NOT a floor: XLA fusion elides most
+    # of them (the device trace shows mixed dot+elementwise fusions — there
+    # is no clean GEMM/elementwise time split at runtime). The defensible
+    # decomposition: the GEMM floor is hard (measured per-shape rates), and
+    # whatever the step spends beyond it is the POST-FUSION elementwise/BN/
+    # optimizer/metrics residue, whose implied HBM traffic at the measured
+    # bandwidth tells how much fusion already eliminated.
     if step_bytes:
-        ew_bytes = max(step_bytes - gemm_bytes, 0.0)
-        t_ew = ew_bytes / (bw * 1e9)
-        floor = t_gemm + t_ew
-        out["elementwise_bytes_mb"] = round(ew_bytes / 1e6, 1)
-        out["elementwise_floor_ms"] = round(t_ew * 1e3, 3)
-        out["floor_ms"] = round(floor * 1e3, 3)
-        out["step_vs_floor"] = round(t_step / floor, 3)
+        ew_logical = max(step_bytes - gemm_bytes, 0.0)
+        t_residue = max(t_step - t_gemm, 0.0)
+        implied_ew_bytes = t_residue * bw * 1e9
+        out["elementwise_logical_bytes_mb"] = round(ew_logical / 1e6, 1)
+        out["non_gemm_residue_ms"] = round(t_residue * 1e3, 3)
+        out["implied_fused_elementwise_mb"] = round(implied_ew_bytes / 1e6, 1)
+        out["fusion_eliminated_frac"] = round(1 - implied_ew_bytes / ew_logical, 3) if ew_logical else None
         out["mfu_measured"] = round((step_flops or 0) / t_step / (peak_datasheet * 1e12), 4) if step_flops else None
-        out["mfu_at_floor"] = round((step_flops or 0) / floor / (peak_datasheet * 1e12), 4) if step_flops else None
+        out["mfu_ceiling_gemm_only"] = round((step_flops or 0) / t_gemm / (peak_datasheet * 1e12), 4) if step_flops else None
         log(
-            f"floor = GEMM {t_gemm * 1e3:.2f} ms + elementwise {t_ew * 1e3:.2f} ms "
-            f"({ew_bytes / 1e6:.0f} MB @ {bw:.0f} GB/s) = {floor * 1e3:.2f} ms"
+            f"VERDICT: step {t_step * 1e3:.2f} ms = GEMM floor {t_gemm * 1e3:.2f} ms "
+            f"(shape-imposed; MFU ceiling {100 * (out['mfu_ceiling_gemm_only'] or 0):.1f}%) "
+            f"+ {t_residue * 1e3:.2f} ms non-GEMM residue"
         )
         log(
-            f"VERDICT: step {t_step * 1e3:.2f} ms = {t_step / floor:.2f}x its measured "
-            f"component floor; MFU {100 * (out['mfu_measured'] or 0):.1f}% vs "
-            f"{100 * (out['mfu_at_floor'] or 0):.1f}% at the floor"
+            f"residue ≈ {implied_ew_bytes / 1e9:.1f} GB of fused elementwise traffic at "
+            f"{bw:.0f} GB/s (compiler counts {ew_logical / 1e9:.1f} GB logical -> fusion "
+            f"already eliminates {100 * (out['fusion_eliminated_frac'] or 0):.0f}%); "
+            f"measured MFU {100 * (out['mfu_measured'] or 0):.1f}%"
         )
     out["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     print(json.dumps(out))
