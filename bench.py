@@ -446,7 +446,11 @@ def build_flagship_step(fused: bool = False, batch_size: int = 64):
         # gemm fwd/dx (XLA fuses the surrounding elementwise into them) +
         # fused Pallas 3-tap dW reduction (ops/pallas/tap_conv.py; isolated
         # 1.44x, ~1% end-to-end, interleaved A/B tools/ab_conv_impl.py r5)
-        conv_impl="gemm_pdw" if jax.default_backend() == "tpu" else "gemm",
+        conv_impl=(
+            "gemm_pdw"
+            if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+            else "gemm"
+        ),
         channels_last_io=True,
     )
     B, C, T, F = batch_size, 208, 360, 1024
@@ -961,9 +965,25 @@ def _read_scale_run_artifact(max_age_days: float = 14.0) -> dict | None:
 def _read_artifact(name: str, max_age_days: float = 14.0) -> dict | None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     try:
-        age_days = (time.time() - os.path.getmtime(path)) / 86400.0
         with open(path) as f:
             art = json.load(f)
+        if not isinstance(art, dict):
+            return None  # corrupt/foreign file; artifacts are JSON objects
+        # age from the artifact's own timestamp when present — file mtime is
+        # reset by clone/checkout, so a committed months-old artifact would
+        # otherwise always look fresh
+        age_days = None
+        ts = art.get("ts")
+        if isinstance(ts, str):
+            try:
+                age_days = (
+                    time.time()
+                    - time.mktime(time.strptime(ts, "%Y-%m-%dT%H:%M:%S"))
+                ) / 86400.0
+            except ValueError:
+                age_days = None
+        if age_days is None:
+            age_days = (time.time() - os.path.getmtime(path)) / 86400.0
         art["artifact_age_days"] = round(age_days, 2)
         if age_days > max_age_days:
             art["stale"] = True

@@ -204,5 +204,9 @@ class TestTapConv:
         gy = jnp.asarray(rng.normal(size=(4, 24, 10)).astype(np.float32))
         _, v0 = jax.vjp(lambda x, w: _gemm_conv(x, w, 2, False), x, w)
         _, v1 = jax.vjp(lambda x, w: _gemm_conv(x, w, 2, True), x, w)
+        # off-TPU the pdw branch falls back to the identical einsum path
+        # (exact); on a real TPU backend it runs the Mosaic kernel, whose
+        # f32 accumulation order differs -> fp-level tolerance
+        rtol = 1e-6 if jax.default_backend() != "tpu" else 1e-4
         for a, b in zip(v0(gy), v1(gy)):
-            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=rtol, atol=1e-5)

@@ -24,7 +24,7 @@ from probe_lane_padding import time_step  # noqa: E402
 
 def main():
     bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    base = None
+    base = base_name = None
     impls = sys.argv[2].split(",") if len(sys.argv) > 2 else (
         "gemm", "pallas_taps", "gemm_wide", "xla")
     for impl in impls:
@@ -32,9 +32,9 @@ def main():
         ms = dt * 1e3
         note = ""
         if base is None:
-            base = ms
+            base, base_name = ms, impl
         else:
-            note = f"  ({ms / base:.3f}x gemm time)"
+            note = f"  ({ms / base:.3f}x {base_name} time)"
         gf = f" {flops / 1e9:7.1f} GF/step" if flops else ""
         print(f"{impl:10s}: {ms:7.3f} ms/step{gf} -> {1 / dt:6.1f} steps/s{note}", flush=True)
 

@@ -220,21 +220,26 @@ def gemm_inventory(B: int = 64, T: int = 360) -> list[dict]:
     return rows
 
 
-# representative measured shape per class: (M, K, N) or ('batched', ...)
-CLASS_SHAPES = {
-    "tapA": (23040, 320, 320),      # dominant: conv taps fwd + dx
-    "tapB": (23040, 320, 640),      # conv2 / head1 width
-    "dx_tapB": (23040, 640, 320),
-    "dW_tapA": (320, 23040, 320),   # tall-contraction weight grads
-    "dW_tapB": (320, 23040, 640),
-    "head2": (23040, 640, 1024),
-    "dx_head2": (23040, 1024, 640),
-    "dW_head2": (640, 23040, 1024),
-    "smallK": (23040, 270, 270),
-    "clip": (64, 368640, 64),
-    "clipT": (64, 64, 368640),
-    "batched": None,                # measured via measure_batched_gemm
-}
+def class_shapes(B: int = 64, T: int = 360) -> dict:
+    """Representative measured shape per class: (M, K, N), or None for the
+    gathered batched matmul. Scaled with the batch so --batch N measures the
+    rates of the shapes that batch actually runs (GEMM efficiency is
+    strongly M-dependent)."""
+    M = B * T
+    return {
+        "tapA": (M, 320, 320),      # dominant: conv taps fwd + dx
+        "tapB": (M, 320, 640),      # conv2 / head1 width
+        "dx_tapB": (M, 640, 320),
+        "dW_tapA": (320, M, 320),   # tall-contraction weight grads
+        "dW_tapB": (320, M, 640),
+        "head2": (M, 640, 1024),
+        "dx_head2": (M, 1024, 640),
+        "dW_head2": (640, M, 1024),
+        "smallK": (M, 270, 270),
+        "clip": (B, 1024 * T, B),
+        "clipT": (B, B, 1024 * T),
+        "batched": None,            # measured via measure_batched_gemm
+    }
 
 
 def main() -> None:
@@ -267,7 +272,8 @@ def main() -> None:
 
     # 2. per-class achieved rates
     rates: dict[str, float] = {}
-    for cls, shape in CLASS_SHAPES.items():
+    shapes = class_shapes(args.batch)
+    for cls, shape in shapes.items():
         if shape is None:
             r = measure_batched_gemm(args.batch, 360, 270, 270, jnp.bfloat16)
         else:
@@ -283,8 +289,8 @@ def main() -> None:
         from speech_decoding_tpu.ops.pallas.tap_conv import tap_conv_dw
 
         for cls, cout in (("dW_tapA", 320), ("dW_tapB", 640)):
-            x = jax.random.normal(jax.random.PRNGKey(0), (64, 360, 320), jnp.float32).astype(jnp.bfloat16)
-            g = jax.random.normal(jax.random.PRNGKey(1), (64, 360, cout), jnp.float32).astype(jnp.bfloat16)
+            x = jax.random.normal(jax.random.PRNGKey(0), (args.batch, 360, 320), jnp.float32).astype(jnp.bfloat16)
+            g = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 360, cout), jnp.float32).astype(jnp.bfloat16)
 
             def body(ops, carry):
                 x, g = ops
@@ -292,7 +298,7 @@ def main() -> None:
                 return _force_scalar(y)
 
             dt = timed_scan(body, (x, g), reps=96)
-            r = 2.0 * 3 * 64 * 360 * 320 * cout / dt / 1e12
+            r = 2.0 * 3 * args.batch * 360 * 320 * cout / dt / 1e12
             rates[cls + "_einsum"] = rates[cls]
             rates[cls] = r
             log(f"  {cls:9s} fused-pallas-dW          {r:7.1f} TF/s (einsum taps: {rates[cls + '_einsum']:.1f})")
@@ -355,8 +361,9 @@ def main() -> None:
         out["non_gemm_residue_ms"] = round(t_residue * 1e3, 3)
         out["implied_fused_elementwise_mb"] = round(implied_ew_bytes / 1e6, 1)
         out["fusion_eliminated_frac"] = round(1 - implied_ew_bytes / ew_logical, 3) if ew_logical else None
-        out["mfu_measured"] = round((step_flops or 0) / t_step / (peak_datasheet * 1e12), 4) if step_flops else None
-        out["mfu_ceiling_gemm_only"] = round((step_flops or 0) / t_gemm / (peak_datasheet * 1e12), 4) if step_flops else None
+        have_peak = bool(step_flops) and peak_datasheet > 0
+        out["mfu_measured"] = round(step_flops / t_step / (peak_datasheet * 1e12), 4) if have_peak else None
+        out["mfu_ceiling_gemm_only"] = round(step_flops / t_gemm / (peak_datasheet * 1e12), 4) if have_peak else None
         log(
             f"VERDICT: step {t_step * 1e3:.2f} ms = GEMM floor {t_gemm * 1e3:.2f} ms "
             f"(shape-imposed; MFU ceiling {100 * (out['mfu_ceiling_gemm_only'] or 0):.1f}%) "

@@ -37,6 +37,13 @@ def main():
     import jax.numpy as jnp
 
     B, C, T, F, S = 64, 208, 360, 1024, 27
+    # fused Pallas dW only on a single chip: the pallas_call has no GSPMD
+    # partition rule, and Trainer auto-meshes multi-device hosts
+    conv_impl = (
+        "gemm_pdw"
+        if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+        else "gemm"
+    )
     N_TRAIN, N_TEST = 256, 64
 
     # device-resident segment pool (the production device-resident data path:
@@ -74,7 +81,7 @@ def main():
             "epochs": epochs,
             "tpu": {
                 "compute_dtype": "bfloat16",
-                "conv_impl": "gemm_pdw",
+                "conv_impl": conv_impl,
                 "channels_last_io": True,
                 "scan_steps": 8,
             },
@@ -85,7 +92,7 @@ def main():
         num_subjects=S, loc=loc, D1=270, D2=320, F=F, K=32,
         compute_dtype=jax.numpy.bfloat16,
         use_pallas=jax.default_backend() == "tpu",
-        conv_impl="gemm_pdw" if jax.default_backend() == "tpu" else "gemm",
+        conv_impl=conv_impl,
         channels_last_io=True,
     )
 
