@@ -7,7 +7,7 @@ frozen A, X standard normal per segment — the encoder must actually learn the
 map, so test top-10 rising above chance demonstrates end-to-end training, not
 just step mechanics.
 
-    python tools/scale_run.py [epochs] [updates]
+    python tools/scale_run.py [epochs] [updates] [train_pool]
 """
 
 import os
@@ -26,6 +26,7 @@ import numpy as np
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     updates = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    train_pool = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
     import jax
 
@@ -44,7 +45,10 @@ def main():
         if jax.default_backend() == "tpu" and len(jax.devices()) == 1
         else "gemm"
     )
-    N_TRAIN, N_TEST = 256, 64
+    # pool size governs memorize-vs-generalize: 256 segments memorize (train
+    # top-10 hits 1.0, held-out plateaus ~0.47); larger pools generalize
+    # (cf. tests/test_learning_gate.py: 128 memorizes, 512 clears the gate)
+    N_TRAIN, N_TEST = train_pool, 64
 
     # device-resident segment pool (the production device-resident data path:
     # per-step host->device traffic is int32 indices only — this harness's
@@ -127,6 +131,7 @@ def main():
         "epochs": epochs,
         "updates_per_epoch": updates,
         "batch": B,
+        "train_pool_segments": N_TRAIN,
         "flagship": {"D1": 270, "D2": 320, "F": F, "K": 32, "C": C, "T": T},
         "testTop10_first_epoch": round(float(hist[0]["testTop10acc"]), 4),
         "testTop10_last_epoch": round(float(hist[-1]["testTop10acc"]), 4),
